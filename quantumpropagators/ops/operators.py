@@ -1,0 +1,303 @@
+"""Operator containers and the ``apply`` protocol.
+
+The reference's kernels are generic over any operator type implementing a
+BLAS-like duck interface (``mul!``/``axpy!``/``dot``; see reference
+``src/cheby.jl:146-148``, ``src/arnoldi.jl:48-52``).  The TPU-native
+equivalent: operators are *pytrees* with a functional
+``apply(op, psi) -> psi'`` contract, so they flow through ``jit`` /
+``lax.scan`` / ``shard_map`` as ordinary arguments.  Static structure
+(shapes, term count) lives in pytree aux data; numerical content (matrix
+entries, sparse values, coefficients) are leaves.  Updating coefficients
+therefore never triggers retracing or operator reassembly — the analogue
+of the reference's coeffs-only ``evaluate!`` fast path
+(``src/generators.jl:744-766``).
+
+Operator types:
+
+- plain ``jax.numpy`` / ``numpy`` 2D arrays (dense; XLA ``dot_general``)
+- :class:`DiagonalOperator` — elementwise multiply
+- :class:`CSROperator` — gather + segment-sum SpMV (sorted rows)
+- :class:`StackedCSROperator` — several terms sharing one sparsity
+  pattern; a coefficient contraction fuses all terms into ONE SpMV
+- :class:`Operator` (in :mod:`..models.generators`) — lazy sum Σ cₗ Ĥₗ
+
+States are arrays with the Hilbert dimension on the *last* axis; leading
+axes are batch dimensions (the data-parallel axis on TPU).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "DiagonalOperator",
+    "CSROperator",
+    "StackedCSROperator",
+    "apply",
+    "op_dot",
+    "to_dense",
+    "op_shape",
+    "csr_from_scipy",
+    "csr_from_dense",
+    "add_operators",
+    "scale_operator",
+    "is_operator",
+]
+
+
+def _register_pytree(cls, data_fields, meta_fields):
+    """Register a dataclass as a JAX pytree with static metadata."""
+
+    def flatten(obj):
+        children = tuple(getattr(obj, f) for f in data_fields)
+        aux = tuple(getattr(obj, f) for f in meta_fields)
+        return children, aux
+
+    def unflatten(aux, children):
+        kwargs = dict(zip(data_fields, children))
+        kwargs.update(dict(zip(meta_fields, aux)))
+        return cls(**kwargs)
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+
+
+@dataclass(frozen=True)
+class DiagonalOperator:
+    """A diagonal operator; ``apply`` is an elementwise product."""
+
+    diag: Any  # (N,) array
+
+    @property
+    def shape(self):
+        return (self.diag.shape[-1], self.diag.shape[-1])
+
+    def apply(self, psi):
+        return self.diag * psi
+
+    def to_dense(self):
+        return jnp.diag(jnp.asarray(self.diag))
+
+
+_register_pytree(DiagonalOperator, ("diag",), ())
+
+
+@dataclass(frozen=True)
+class CSROperator:
+    """Sparse operator in CSR layout with explicit per-entry row ids.
+
+    ``data[k]`` is the entry at ``(row[k], col[k])``, sorted by row
+    (CSR order).  ``apply`` is the TPU-compatible gather/segment-sum
+    SpMV; ``indptr`` is carried for host-side conversions and the native
+    assembly path.  The sparsity layout (``row``/``col``/``indptr``) is
+    immutable; time dependence enters only through coefficients at the
+    :class:`~quantumpropagators.models.generators.Operator` level.
+    """
+
+    data: Any  # (nnz,)
+    col: Any  # (nnz,) int32
+    row: Any  # (nnz,) int32
+    indptr: Any  # (N+1,) int32
+    shape: tuple = ()
+
+    @property
+    def nnz(self):
+        return self.col.shape[-1]
+
+    def apply(self, psi):
+        n_rows = self.shape[0]
+
+        def matvec(v):
+            prod = self.data * v[self.col]
+            return jax.ops.segment_sum(
+                prod, self.row, num_segments=n_rows, indices_are_sorted=True
+            )
+
+        if psi.ndim == 1:
+            return matvec(psi)
+        # batched: flatten leading dims, vmap over them
+        lead = psi.shape[:-1]
+        flat = psi.reshape((-1, psi.shape[-1]))
+        out = jax.vmap(matvec)(flat)
+        return out.reshape(lead + (n_rows,))
+
+    def to_dense(self):
+        A = jnp.zeros(self.shape, dtype=jnp.result_type(self.data.dtype))
+        return A.at[self.row, self.col].add(self.data)
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        return sp.csr_matrix(
+            (np.asarray(self.data), np.asarray(self.col), np.asarray(self.indptr)),
+            shape=self.shape,
+        )
+
+
+_register_pytree(CSROperator, ("data", "col", "row", "indptr"), ("shape",))
+
+
+@dataclass(frozen=True)
+class StackedCSROperator:
+    """``n_terms`` sparse operators sharing one sparsity pattern.
+
+    ``data`` has shape ``(n_terms, nnz)``.  Applying with a coefficient
+    vector contracts the coefficients into a single data vector first,
+    so the whole time-dependent Hamiltonian costs ONE SpMV per matvec —
+    the fused design from SURVEY §7.1 replacing the reference's per-term
+    ``mul!`` loop (``src/generators.jl:634-645``).
+    """
+
+    data: Any  # (n_terms, nnz)
+    col: Any
+    row: Any
+    indptr: Any
+    shape: tuple = ()
+
+    @property
+    def n_terms(self):
+        return self.data.shape[0]
+
+    def combine(self, coeffs):
+        """Contract term coefficients: returns a :class:`CSROperator`."""
+        coeffs = jnp.asarray(coeffs, dtype=jnp.result_type(self.data, coeffs))
+        merged = jnp.tensordot(coeffs, self.data, axes=(0, 0))
+        return CSROperator(merged, self.col, self.row, self.indptr, self.shape)
+
+    def apply(self, psi, coeffs=None):
+        if coeffs is None:
+            coeffs = jnp.ones((self.n_terms,), dtype=self.data.dtype)
+        return self.combine(coeffs).apply(psi)
+
+    def to_dense(self, coeffs=None):
+        if coeffs is None:
+            coeffs = jnp.ones((self.n_terms,), dtype=self.data.dtype)
+        return self.combine(coeffs).to_dense()
+
+
+_register_pytree(StackedCSROperator, ("data", "col", "row", "indptr"), ("shape",))
+
+
+# --------------------------------------------------------------------------
+# Generic functional interface
+# --------------------------------------------------------------------------
+
+def is_operator(obj) -> bool:
+    """True if ``obj`` can act as a static operator on a state."""
+    if isinstance(obj, (jnp.ndarray, np.ndarray)) and np.ndim(obj) == 2:
+        return True
+    return hasattr(obj, "apply") and hasattr(obj, "shape")
+
+
+def apply(op, psi):
+    """Apply a static operator to a state: ``psi' = op @ psi``.
+
+    The single entry point every kernel (Chebyshev/Newton/Arnoldi) uses —
+    the analogue of the reference's 3-arg ``mul!`` contract.  ``psi`` has
+    the Hilbert dimension on its last axis.
+    """
+    if isinstance(op, (jnp.ndarray, np.ndarray)):
+        if op.ndim != 2:
+            raise ValueError(f"dense operator must be 2D, got shape {op.shape}")
+        return jnp.einsum("ij,...j->...i", op, psi)
+    applier = getattr(op, "apply", None)
+    if applier is not None:
+        return applier(psi)
+    raise TypeError(f"object of type {type(op)} does not implement `apply`")
+
+
+def op_dot(x, op, y):
+    """Expectation-style inner product ``⟨x| op |y⟩``.
+
+    (analogue of the reference's 3-arg ``dot``,
+    ``src/generators.jl:648-660``)
+    """
+    return jnp.vdot(x, apply(op, y))
+
+
+def to_dense(op):
+    """Materialize any operator as a dense ``jax.numpy`` matrix."""
+    if isinstance(op, (jnp.ndarray, np.ndarray)):
+        return jnp.asarray(op)
+    fn = getattr(op, "to_dense", None)
+    if fn is not None:
+        return fn()
+    raise TypeError(f"cannot densify operator of type {type(op)}")
+
+
+def op_shape(op) -> tuple:
+    if isinstance(op, (jnp.ndarray, np.ndarray)):
+        return tuple(op.shape)
+    return tuple(op.shape)
+
+
+# --------------------------------------------------------------------------
+# Construction helpers (host-side)
+# --------------------------------------------------------------------------
+
+def csr_from_scipy(A, dtype=None) -> CSROperator:
+    """Build a :class:`CSROperator` from any scipy sparse matrix."""
+    A = A.tocsr()
+    A.sum_duplicates()
+    if dtype is None:
+        dtype = jnp.complex128 if A.dtype.kind == "c" else A.dtype
+    indptr = np.asarray(A.indptr, dtype=np.int32)
+    row = np.repeat(
+        np.arange(A.shape[0], dtype=np.int32), np.diff(indptr).astype(np.int64)
+    )
+    return CSROperator(
+        data=jnp.asarray(A.data, dtype=dtype),
+        col=jnp.asarray(A.indices, dtype=jnp.int32),
+        row=jnp.asarray(row),
+        indptr=jnp.asarray(indptr),
+        shape=tuple(A.shape),
+    )
+
+
+def csr_from_dense(A, tol: float = 0.0) -> CSROperator:
+    """Build a :class:`CSROperator` from a dense matrix, dropping entries
+    with ``|a_ij| <= tol``."""
+    import scipy.sparse as sp
+
+    A = np.asarray(A)
+    if tol > 0:
+        A = np.where(np.abs(A) > tol, A, 0)
+    return csr_from_scipy(sp.csr_matrix(A), dtype=A.dtype)
+
+
+def add_operators(a, b):
+    """Host-side structural sum of two static operators (used by the
+    ``hamiltonian`` builder when merging terms with identical
+    amplitudes; reference ``src/generators.jl:415-424``)."""
+    if isinstance(a, (jnp.ndarray, np.ndarray)) and isinstance(
+        b, (jnp.ndarray, np.ndarray)
+    ):
+        return jnp.asarray(a) + jnp.asarray(b)
+    if isinstance(a, DiagonalOperator) and isinstance(b, DiagonalOperator):
+        return DiagonalOperator(a.diag + b.diag)
+    if isinstance(a, CSROperator) or isinstance(b, CSROperator):
+        import scipy.sparse as sp
+
+        def _to_sp(x):
+            if isinstance(x, CSROperator):
+                return x.to_scipy()
+            return sp.csr_matrix(np.asarray(to_dense(x)))
+
+        return csr_from_scipy(_to_sp(a) + _to_sp(b))
+    return to_dense(a) + to_dense(b)
+
+
+def scale_operator(alpha, op):
+    """Host-side structural scaling ``alpha * op``."""
+    if isinstance(op, (jnp.ndarray, np.ndarray)):
+        return alpha * jnp.asarray(op)
+    if isinstance(op, DiagonalOperator):
+        return DiagonalOperator(alpha * op.diag)
+    if isinstance(op, CSROperator):
+        return dataclasses.replace(op, data=alpha * op.data)
+    return alpha * to_dense(op)

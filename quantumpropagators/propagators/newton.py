@@ -1,0 +1,93 @@
+"""Newton-with-restarted-Arnoldi PWC propagator (reference
+``src/newton_propagator.jl``).
+
+The general-purpose method for non-Hermitian generators (Liouvillians):
+each interval applies ``f(H·dt)`` via
+:func:`~quantumpropagators.ops.newton.newton_apply`, with
+``func``/``norm_min``/``relerr``/``max_restarts`` carried through
+(reference ``src/newton_propagator.jl:137-146``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..ops.newton import NewtonInfo, newton_apply
+from ..utils.timings import TimingData
+from .base import register_method
+from .pwc import PWCPropagatorBase
+
+__all__ = ["NewtonPropagator"]
+
+
+class NewtonPropagator(PWCPropagatorBase):
+    def __init__(
+        self,
+        state,
+        generator,
+        tlist,
+        *,
+        backward: bool = False,
+        parameters=None,
+        func: Optional[Callable] = None,
+        m_max: int = 10,
+        norm_min: float = 1e-14,
+        relerr: float = 1e-12,
+        max_restarts: int = 50,
+        **_ignored,
+    ):
+        super().__init__(
+            state, generator, tlist, backward=backward, parameters=parameters
+        )
+        self.func = func
+        self.m_max = int(m_max)
+        self.norm_min = float(norm_min)
+        self.relerr = float(relerr)
+        self.max_restarts = int(max_restarts)
+        self.timing_data = TimingData()
+        self.newton_info = NewtonInfo()
+
+    def prop_step(self):
+        if self._done:
+            return None
+        with self.timing_data.section("prop_step"):
+            n = self.n
+            op = self._interval_operator(n)
+            dt = float(self.tlist[n + 1] - self.tlist[n])
+            if self.backward:
+                dt = -dt
+            self.state = newton_apply(
+                op,
+                self.state,
+                dt,
+                func=self.func,
+                m_max=self.m_max,
+                norm_min=self.norm_min,
+                relerr=self.relerr,
+                max_restarts=self.max_restarts,
+                info=self.newton_info,
+            )
+            self.timing_data.count("matvec", self.newton_info.matvecs)
+            self.newton_info.matvecs = 0
+            self._advance()
+            return self.state
+
+
+def _factory(state, generator, tlist, **kwargs):
+    keep = (
+        "backward",
+        "parameters",
+        "func",
+        "m_max",
+        "norm_min",
+        "relerr",
+        "max_restarts",
+    )
+    return NewtonPropagator(
+        state, generator, tlist, **{k: v for k, v in kwargs.items() if k in keep}
+    )
+
+
+register_method("newton", _factory)
