@@ -1,0 +1,160 @@
+"""Benchmark: Chebyshev propagation throughput on the flagship config.
+
+Measures SpMV-equivalent throughput (Gnnz/s) of Chebyshev time
+propagation of a transverse-field Ising chain (the BASELINE.md "1D spin
+chain" config) on the available accelerator, and compares against a
+reference-style CPU sparse (scipy CSR) matvec baseline — the closest
+available stand-in for the Julia reference's SuiteSparse SpMV backend.
+
+Prints ONE JSON line to stdout:
+``{"metric": ..., "value": N, "unit": "Gnnz/s", "vs_baseline": N}``
+Diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def build_tfim_scipy(L, J=1.0, g=1.2, h=0.3):
+    """Reference-style CSR assembly of the same Hamiltonian."""
+    import scipy.sparse as sp
+
+    I = sp.identity(2, format="csr", dtype=np.complex128)
+    X = sp.csr_matrix(np.array([[0, 1], [1, 0]], dtype=np.complex128))
+    Z = sp.csr_matrix(np.array([[1, 0], [0, -1]], dtype=np.complex128))
+
+    def site(op, i):
+        out = sp.identity(1, format="csr", dtype=np.complex128)
+        for j in range(L):
+            out = sp.kron(out, op if j == i else I, format="csr")
+        return out
+
+    H = sp.csr_matrix((2 ** L, 2 ** L), dtype=np.complex128)
+    for i in range(L - 1):
+        H = H + J * (site(Z, i) @ site(Z, i + 1))
+    for i in range(L):
+        H = H + h * site(Z, i) + g * site(X, i)
+    return H.tocsr()
+
+
+def cpu_csr_baseline(L_ref: int) -> float:
+    """scipy CSR matvec throughput in Gnnz/s (per core, like the
+    reference's default single-threaded SpMV)."""
+    H = build_tfim_scipy(L_ref)
+    rng = np.random.default_rng(0)
+    psi = rng.standard_normal(2 ** L_ref) + 1j * rng.standard_normal(2 ** L_ref)
+    H @ psi  # warm
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        psi = H @ psi
+    dt = time.perf_counter() - t0
+    gnnz = reps * H.nnz / dt / 1e9
+    log(f"CPU scipy CSR baseline: L={L_ref}, nnz={H.nnz}, {gnnz:.3f} Gnnz/s")
+    return gnnz
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--L", type=int, default=20)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--dt", type=float, default=0.05)
+    ap.add_argument("--L-ref", type=int, default=16, help="CPU baseline chain length")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from quantumpropagators import Operator
+    from quantumpropagators.models.lattice import transverse_field_ising
+    from quantumpropagators.ops.cheby import cheby_apply, cheby_coeffs
+
+    L = args.L
+    N = 2 ** L
+    J, g, h = 1.0, 1.2, 0.3
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform}), L={L}, N={N}")
+
+    # All operator data REAL (f32): this TPU backend runs complex math
+    # inside jitted graphs but cannot transfer complex buffers, so the
+    # jit boundary carries only real arrays (complex formed in-graph).
+    H_diag, H_x = transverse_field_ising(L, J=J, g=g, h=h, dtype=jnp.float32)
+    op = Operator([H_diag, H_x], np.array([1.0], dtype=np.float32))
+
+    bound = J * (L - 1) + abs(h) * L + g * L
+    e_min, delta = -bound, 2 * bound
+    coeffs = jnp.asarray(cheby_coeffs(delta, args.dt), dtype=jnp.float32)
+    n_coeffs = coeffs.shape[0]
+    matvecs_per_step = n_coeffs - 1
+    log(f"Chebyshev: {n_coeffs} coefficients per step (Δ·dt/2={delta*args.dt/2:.1f})")
+
+    rng = np.random.default_rng(1)
+    re0 = rng.standard_normal(N)
+    im0 = rng.standard_normal(N)
+    nrm0 = np.sqrt((re0 ** 2 + im0 ** 2).sum())
+    re = jnp.asarray(re0 / nrm0, dtype=jnp.float32)
+    im = jnp.asarray(im0 / nrm0, dtype=jnp.float32)
+
+    @partial(jax.jit, static_argnames=("n_steps",))
+    def run(op, re, im, coeffs, n_steps):
+        psi = re + 1j * im
+
+        def body(psi, _):
+            return cheby_apply(op, psi, coeffs, delta, e_min, args.dt), None
+
+        psi, _ = jax.lax.scan(body, psi, None, length=n_steps)
+        return jnp.real(psi), jnp.imag(psi)
+
+    t0 = time.perf_counter()
+    r1, i1 = run(op, re, im, coeffs, args.steps)
+    r1.block_until_ready()
+    log(f"compile+first run ({args.steps} steps): {time.perf_counter()-t0:.1f}s")
+
+    # timed run (same executable)
+    t0 = time.perf_counter()
+    r2, i2 = run(op, r1, i1, coeffs, args.steps)
+    r2.block_until_ready()
+    elapsed = time.perf_counter() - t0
+    r2h = np.asarray(r2, dtype=np.float64)
+    i2h = np.asarray(i2, dtype=np.float64)
+    nrm = float(np.sqrt((r2h ** 2 + i2h ** 2).sum()))
+    log(f"{args.steps} steps in {elapsed:.3f}s; ‖Ψ‖={nrm:.6f}")
+
+    nnz_equiv = (L + 1) * N  # diag + one off-diag entry per site per row
+    total_matvecs = args.steps * matvecs_per_step
+    gnnz = total_matvecs * nnz_equiv / elapsed / 1e9
+    steps_per_s = args.steps / elapsed
+    log(
+        f"throughput: {gnnz:.2f} Gnnz/s "
+        f"({total_matvecs} matvecs, {steps_per_s:.2f} steps/s)"
+    )
+
+    baseline = cpu_csr_baseline(args.L_ref)
+    result = {
+        "metric": f"cheby_spmv_throughput_tfim_2^{L}",
+        "value": round(gnnz, 3),
+        "unit": "Gnnz/s",
+        "vs_baseline": round(gnnz / baseline, 2),
+        "extra": {
+            "steps_per_s": round(steps_per_s, 3),
+            "matvecs_per_step": matvecs_per_step,
+            "platform": dev.platform,
+            "state_norm_after": round(nrm, 9),
+        },
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,13 @@ from .models.generators import (
     liouvillian,
 )
 from .models.shapes import blackman, box, flattop
+from .models.amplitudes import GuidedAmplitude, LockedAmplitude, ShapedAmplitude
+from .models.crab import (
+    CRABFunction,
+    VariedFrequencyCRABFunction,
+    crab_initial_parameters,
+)
+from .models.lattice import SiteOperatorSum, transverse_field_ising
 from .ops.operators import (
     CSROperator,
     DiagonalOperator,
@@ -68,6 +75,16 @@ __all__ = [
     "flattop",
     "box",
     "blackman",
+    # amplitudes & parameterized functions
+    "LockedAmplitude",
+    "ShapedAmplitude",
+    "GuidedAmplitude",
+    "CRABFunction",
+    "VariedFrequencyCRABFunction",
+    "crab_initial_parameters",
+    # lattice models
+    "SiteOperatorSum",
+    "transverse_field_ising",
     # generators
     "Generator",
     "Operator",

@@ -90,18 +90,33 @@ def check_tlist(tlist, *, quiet: bool = False) -> bool:
     return ok
 
 
+def _state_dot(x, y) -> complex:
+    """Inner product through the array view of a (possibly custom)
+    state type."""
+    return complex(np.vdot(np.asarray(x), np.asarray(y)))
+
+
+def _state_norm(x) -> float:
+    return float(np.linalg.norm(np.asarray(x)))
+
+
 def check_state(state, *, normalized: bool = False, quiet: bool = False) -> bool:
     """Verify the Hilbert-space axioms for a state (reference
     ``src/interfaces/state.jl``): inner product / norm consistency,
     linear combinations, scalar multiplication, copies.
+
+    Custom state types must be array-convertible (``__array__``) and
+    support ``+``, ``-``, and scalar ``*`` with their own semantics —
+    the axioms exercise the type's arithmetic; measurement goes through
+    the array view.
     """
     ok = True
     try:
-        ip = jnp.vdot(state, state)
+        ip = _state_dot(state, state)
     except Exception as exc:
         _err(quiet, f"the inner product of a state with itself must be defined: {exc}")
         return False
-    if not np.iscomplexobj(np.asarray(ip)):
+    if not np.iscomplexobj(np.asarray(state)):
         _err(
             quiet,
             "the inner product of two states must be a complex number "
@@ -109,12 +124,12 @@ def check_state(state, *, normalized: bool = False, quiet: bool = False) -> bool
         )
         ok = False
     try:
-        nrm = float(jnp.linalg.norm(state))
-        if not np.isclose(nrm, np.sqrt(abs(complex(ip))), rtol=1e-9, atol=1e-12):
-            _err(quiet, "norm(state) must equal sqrt(dot(state, state))")
-            ok = False
+        nrm = _state_norm(state)
         if not np.isfinite(nrm):
             _err(quiet, "the norm of a state must be finite")
+            ok = False
+        elif not np.isclose(nrm, np.sqrt(abs(ip)), rtol=1e-9, atol=1e-12):
+            _err(quiet, "norm(state) must equal sqrt(dot(state, state))")
             ok = False
         if normalized and not np.isclose(nrm, 1.0, atol=1e-9):
             _err(quiet, f"the state must be normalized, got norm {nrm}")
@@ -128,7 +143,7 @@ def check_state(state, *, normalized: bool = False, quiet: bool = False) -> bool
         if not np.allclose(np.asarray(two), 2 * np.asarray(state)):
             _err(quiet, "state + state must equal 2 * state")
             ok = False
-        if float(jnp.linalg.norm(zero)) > 1e-12 * max(1.0, float(jnp.linalg.norm(state))):
+        if _state_norm(zero) > 1e-12 * max(1.0, _state_norm(state)):
             _err(quiet, "state - state must have norm 0")
             ok = False
     except Exception as exc:
@@ -136,8 +151,8 @@ def check_state(state, *, normalized: bool = False, quiet: bool = False) -> bool
         ok = False
     try:
         scaled = 0.5j * state
-        hom = float(jnp.linalg.norm(scaled)) - 0.5 * float(jnp.linalg.norm(state))
-        if abs(hom) > 1e-9 * max(1.0, float(jnp.linalg.norm(state))):
+        hom = _state_norm(scaled) - 0.5 * _state_norm(state)
+        if abs(hom) > 1e-9 * max(1.0, _state_norm(state)):
             _err(quiet, "norm must be homogeneous: ‖αΨ‖ = |α|·‖Ψ‖")
             ok = False
     except Exception as exc:
@@ -145,8 +160,8 @@ def check_state(state, *, normalized: bool = False, quiet: bool = False) -> bool
         ok = False
     try:
         a, b = state, 1j * state
-        lhs = float(jnp.linalg.norm(a + b))
-        rhs = float(jnp.linalg.norm(a)) + float(jnp.linalg.norm(b))
+        lhs = _state_norm(a + b)
+        rhs = _state_norm(a) + _state_norm(b)
         if lhs > rhs + 1e-9:
             _err(quiet, "the triangle inequality must hold")
             ok = False

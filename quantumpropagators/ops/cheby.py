@@ -128,6 +128,7 @@ def cheby_apply(
     *,
     forward: bool = True,
     check_normalization: bool = False,
+    apply_fn=None,
 ):
     """Evaluate ``exp(-i H dt) |psi⟩`` via the Chebyshev recurrence.
 
@@ -144,6 +145,8 @@ def cheby_apply(
     assert it ≤ 1 + limit to detect a spectral envelope violation
     (reference ``src/cheby.jl:194-200``).
     """
+    if apply_fn is None:
+        apply_fn = apply
     cdtype = jnp.result_type(psi.dtype, jnp.complex64)
     psi = psi.astype(cdtype)
     beta = (delta / 2.0) + e_min
@@ -153,13 +156,13 @@ def cheby_apply(
 
     v0 = psi
     phi = a[0] * v0
-    v1 = c * (apply(op, v0) - beta * v0)
+    v1 = c * (apply_fn(op, v0) - beta * v0)
     phi = phi + a[1] * v1
     c2 = 2.0 * c
 
     def body(carry, ak):
         v0, v1, phi, max_norm = carry
-        hv = c2 * (apply(op, v1) - beta * v1)
+        hv = c2 * (apply_fn(op, v1) - beta * v1)
         if check_normalization:
             map_norm = jnp.abs(jnp.vdot(v1, hv)) / (
                 2.0 * jnp.real(jnp.vdot(v1, v1))

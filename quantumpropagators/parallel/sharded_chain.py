@@ -1,0 +1,169 @@
+"""Sharded application of structured chain operators under ``shard_map``.
+
+The state ``Ψ`` (dim ``2^L``) is row-sharded into ``P = 2^p`` contiguous
+blocks over the 1D device mesh — i.e. the top ``p`` bits of the basis
+index select the device.  Consequences (the chain analogue of the
+halo-exchange design in SURVEY §7.2):
+
+- *Diagonal* operators (all Pauli-Z strings) act entirely locally on
+  the shard: zero communication.
+- A single-site operator on a LOW bit (``site ≥ p``) acts within the
+  local block: zero communication.
+- A single-site operator on a HIGH bit (``site < p``) mixes each block
+  with exactly one *partner* block (device rank XOR a single bit):
+  one ``ppermute`` pairwise exchange + an axpy.  For a spin chain, the
+  per-matvec communication volume is therefore ``p`` block exchanges —
+  each riding a single ICI hop on a hypercube-consistent device order.
+
+The Chebyshev recurrence needs **no reductions** (SURVEY §5
+"long-context"), so a full sharded Chebyshev step is pure
+``ppermute``+compute, ideal for XLA's async collective overlap.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.generators import Operator, ScaledOperator
+from ..models.lattice import SiteOperatorSum
+from ..ops.cheby import cheby_apply
+from ..ops.operators import CSROperator, DiagonalOperator
+from .mesh import STATE_AXIS
+
+__all__ = ["sharded_apply", "make_sharded_cheby_step", "operator_shard_spec"]
+
+
+def _axis_size(axis_name: str) -> int:
+    return jax.lax.axis_size(axis_name)
+
+
+def sharded_apply(op, psi_local, *, axis_name: str = STATE_AXIS):
+    """Apply ``op`` to a block-sharded state from inside ``shard_map``.
+
+    ``psi_local`` is this device's contiguous block of the state.
+    Supported operator terms: :class:`DiagonalOperator` (with its
+    ``diag`` sharded like the state), :class:`SiteOperatorSum`
+    (replicated ``(L,2,2)`` site matrices), and
+    :class:`Operator`/:class:`ScaledOperator` combinations thereof.
+    """
+    if isinstance(op, DiagonalOperator):
+        return op.diag * psi_local  # diag is pre-sharded to the local block
+    if isinstance(op, SiteOperatorSum):
+        return _sharded_site_sum(op, psi_local, axis_name)
+    if isinstance(op, ScaledOperator):
+        return op.coeff * sharded_apply(op.operator, psi_local, axis_name=axis_name)
+    if isinstance(op, Operator):
+        off = op.drift_offset
+        out = None
+        for i, term in enumerate(op.ops):
+            y = sharded_apply(term, psi_local, axis_name=axis_name)
+            if i >= off:
+                y = op.coeffs[i - off] * y
+            out = y if out is None else out + y
+        return out
+    raise TypeError(
+        f"sharded_apply does not support operator type {type(op)}; "
+        "use DiagonalOperator / SiteOperatorSum / Operator of those"
+    )
+
+
+def _sharded_site_sum(op: SiteOperatorSum, psi_local, axis_name: str):
+    n_dev = _axis_size(axis_name)
+    p = int(np.log2(n_dev))
+    assert 2 ** p == n_dev, "device count must be a power of two"
+    L = op.L
+    L_local = L - p
+    rank = jax.lax.axis_index(axis_name)
+    active = op.active if op.active else (True,) * L
+
+    # Local sites (low bits): a SiteOperatorSum on the local block.
+    local_op = SiteOperatorSum(
+        op.site_mats[p:], L=L_local, active=tuple(active[p:])
+    )
+    out = local_op.apply(psi_local)
+
+    # Device-bit sites (high bits): pairwise block exchange.
+    for b in range(p):
+        if not active[b]:
+            continue
+        mask = 1 << (p - 1 - b)
+        perm = [(s, s ^ mask) for s in range(n_dev)]
+        recv = jax.lax.ppermute(psi_local, axis_name, perm)
+        v = (rank >> (p - 1 - b)) & 1  # this device's value of bit b
+        M = op.site_mats[b].astype(psi_local.dtype)
+        diag_c = jnp.where(v == 0, M[0, 0], M[1, 1])
+        off_c = jnp.where(v == 0, M[0, 1], M[1, 0])
+        out = out + diag_c * psi_local + off_c * recv
+    return out
+
+
+def operator_shard_spec(op):
+    """PartitionSpec pytree for ``op`` as a ``shard_map`` input:
+    diagonals sharded like the state, everything else replicated."""
+
+    def leaf_spec(path_leaf):
+        return P()
+
+    # Build the spec with the same pytree structure
+    def _spec(term):
+        if isinstance(term, DiagonalOperator):
+            return DiagonalOperator(P(STATE_AXIS))
+        if isinstance(term, SiteOperatorSum):
+            return SiteOperatorSum(P(), L=term.L, active=term.active)
+        if isinstance(term, ScaledOperator):
+            return ScaledOperator(P(), _spec(term.operator))
+        if isinstance(term, Operator):
+            inner = [_spec(t) for t in term.ops]
+            o = object.__new__(Operator)
+            o.ops = inner
+            o.coeffs = P()
+            return o
+        raise TypeError(f"unsupported sharded operator type {type(term)}")
+
+    return _spec(op)
+
+
+def make_sharded_cheby_step(
+    mesh: Mesh,
+    op_example,
+    *,
+    delta: float,
+    e_min: float,
+    dt: float,
+    forward: bool = True,
+):
+    """Build a jitted, fully sharded Chebyshev step.
+
+    Returns ``step(op, psi, coeffs) -> psi`` where ``psi`` is sharded
+    over the mesh state axis and ``op`` is an operator pytree laid out
+    per :func:`operator_shard_spec`.  The whole polynomial recurrence —
+    ``n_coeffs`` sharded matvecs with their ``ppermute`` exchanges —
+    compiles to a single XLA executable with no host round trips.
+    """
+    op_spec = operator_shard_spec(op_example)
+
+    def _step(op, psi_local, coeffs):
+        return cheby_apply(
+            op,
+            psi_local,
+            coeffs,
+            delta,
+            e_min,
+            dt,
+            forward=forward,
+            apply_fn=partial(sharded_apply, axis_name=STATE_AXIS),
+        )
+
+    sharded = jax.shard_map(
+        _step,
+        mesh=mesh,
+        in_specs=(op_spec, P(STATE_AXIS), P()),
+        out_specs=P(STATE_AXIS),
+    )
+    return jax.jit(sharded)

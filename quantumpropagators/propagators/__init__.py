@@ -18,10 +18,14 @@ from .base import (
 from . import cheby as _cheby  # noqa: F401
 from . import expprop as _expprop  # noqa: F401
 from . import newton as _newton  # noqa: F401
+from . import krylov as _krylov  # noqa: F401
+from . import ode as _ode  # noqa: F401
 
 from .cheby import ChebyPropagator
 from .expprop import ExpPropagator
 from .newton import NewtonPropagator
+from .krylov import KrylovPropagator
+from .ode import ODEContinuousPropagator, ODEPropagator, ODEPWCPropagator, ode_function
 
 __all__ = [
     "Propagator",
@@ -38,4 +42,7 @@ __all__ = [
     "ChebyPropagator",
     "ExpPropagator",
     "NewtonPropagator",
+    "KrylovPropagator",
+    "ODEPropagator",
+    "ode_function",
 ]

@@ -135,8 +135,11 @@ def init_prop(state, generator, tlist, method: str = "auto", **kwargs) -> Propag
             f"Unknown propagation method {method!r}; available: "
             f"{available_methods()}"
         ) from None
-    piecewise = kwargs.pop("piecewise", None)
-    pwc = kwargs.pop("pwc", None)
+    # `piecewise`/`pwc` both select variants (e.g. for the ODE method)
+    # and assert the resulting propagator type (reference
+    # src/propagator.jl:233-244) — pass them through AND enforce.
+    piecewise = kwargs.get("piecewise", None)
+    pwc = kwargs.get("pwc", None)
     propagator = factory(state, generator, tlist, **kwargs)
     if piecewise and not isinstance(propagator, PiecewisePropagator):
         raise TypeError(

@@ -24,9 +24,9 @@ import numpy as np
 from ..models.controls import discretize_on_midpoints, evaluate, get_controls
 from ..models.generators import Generator, Operator
 from ..utils.iddict import IdDict
-from .base import PWCPropagator
+from .base import Propagator, PWCPropagator
 
-__all__ = ["PWCPropagatorBase", "pwc_process_parameters"]
+__all__ = ["PWCPropagatorBase", "IntervalStepper", "pwc_process_parameters"]
 
 
 def pwc_process_parameters(parameters, controls, tlist) -> IdDict:
@@ -50,8 +50,10 @@ def pwc_process_parameters(parameters, controls, tlist) -> IdDict:
     return parameters
 
 
-class PWCPropagatorBase(PWCPropagator):
-    """Common implementation for all PWC propagators."""
+class IntervalStepper(Propagator):
+    """Interval-stepping implementation shared by piecewise propagators
+    (and the interval bookkeeping of the time-continuous ODE
+    propagator, which is NOT itself piecewise-constant)."""
 
     def __init__(
         self,
@@ -157,3 +159,7 @@ class PWCPropagatorBase(PWCPropagator):
             vals[c] = float(np.max(np.abs(np.asarray(self.parameters[c]))))
         op = evaluate(gen, self.tlist, len(self.tlist) // 2, vals_dict=vals)
         return op
+
+
+class PWCPropagatorBase(IntervalStepper, PWCPropagator):
+    """Common implementation for all piecewise-constant propagators."""

@@ -1,0 +1,70 @@
+"""Fused scan propagation vs the host-loop driver."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import quantumpropagators as qp
+from quantumpropagators.fused import cheby_propagate_fused, make_fused_cheby_propagator
+from quantumpropagators.models.generators import coeff_table
+from quantumpropagators.utils.fixtures import random_matrix, random_state_vector
+
+
+@pytest.fixture
+def problem():
+    rng = np.random.default_rng(77)
+    N = 16
+    H0 = jnp.asarray(random_matrix(N, hermitian=True, spectral_radius=2, rng=rng))
+    H1 = jnp.asarray(random_matrix(N, hermitian=True, spectral_radius=1, rng=rng))
+    gen = qp.hamiltonian(H0, (H1, lambda t: np.sin(t)))
+    tlist = np.linspace(0, 3, 61)
+    psi0 = jnp.asarray(random_state_vector(N, rng=rng))
+    return gen, tlist, psi0
+
+
+def test_fused_matches_host_loop(problem):
+    gen, tlist, psi0 = problem
+    expected = qp.propagate(psi0, gen, tlist, method="cheby")
+    psi_final, traj = cheby_propagate_fused(psi0, gen, tlist, store_states=True)
+    assert np.linalg.norm(np.asarray(psi_final) - np.asarray(expected)) < 1e-12
+    assert traj.shape == (len(tlist) - 1, 16)
+    # trajectory matches storage from the host loop (skip initial state)
+    storage = qp.propagate(psi0, gen, tlist, method="cheby", storage=True)
+    assert np.allclose(np.asarray(traj).T, np.asarray(storage)[:, 1:], atol=1e-12)
+
+
+def test_fused_observable(problem):
+    gen, tlist, psi0 = problem
+    rng = np.random.default_rng(3)
+    O = jnp.asarray(random_matrix(16, hermitian=True, rng=rng))
+    _psi, vals = cheby_propagate_fused(
+        psi0, gen, tlist, observable_fn=lambda psi: jnp.vdot(psi, O @ psi).real
+    )
+    storage = qp.propagate(psi0, gen, tlist, method="cheby", observables=(O,), storage=True)
+    assert np.allclose(np.asarray(vals), np.asarray(storage).real[1:], atol=1e-12)
+
+
+def test_fused_backward(problem):
+    gen, tlist, psi0 = problem
+    fwd, _ = cheby_propagate_fused(psi0, gen, tlist)
+    back, _ = cheby_propagate_fused(fwd, gen, tlist, backward=True)
+    assert np.linalg.norm(np.asarray(back) - np.asarray(psi0)) < 1e-11
+
+
+def test_reusable_propagator_no_retrace(problem):
+    """Control updates must hit the same compiled executable."""
+    gen, tlist, psi0 = problem
+    fn = make_fused_cheby_propagator(psi0, gen, tlist)
+    table1 = coeff_table(gen, tlist)
+    out1, _ = fn(psi0, table1)
+    compiled_before = _count_cheby_scan_compiles()
+    out2, _ = fn(psi0, 0.5 * table1)
+    assert _count_cheby_scan_compiles() == compiled_before
+    assert np.linalg.norm(np.asarray(out1) - np.asarray(out2)) > 1e-8
+
+
+def _count_cheby_scan_compiles():
+    from quantumpropagators.fused import _fused_scan
+
+    return _fused_scan._cache_size()
