@@ -121,15 +121,27 @@ def main():
     r1.block_until_ready()
     log(f"compile+first run ({args.steps} steps): {time.perf_counter()-t0:.1f}s")
 
-    # timed run (same executable)
+    # timed run (same executable); time through the host transfer so
+    # async-dispatch semantics cannot under-report
     t0 = time.perf_counter()
     r2, i2 = run(op, r1, i1, coeffs, args.steps)
     r2.block_until_ready()
-    elapsed = time.perf_counter() - t0
+    elapsed_sync = time.perf_counter() - t0
     r2h = np.asarray(r2, dtype=np.float64)
     i2h = np.asarray(i2, dtype=np.float64)
+    elapsed = time.perf_counter() - t0
     nrm = float(np.sqrt((r2h ** 2 + i2h ** 2).sum()))
-    log(f"{args.steps} steps in {elapsed:.3f}s; ‖Ψ‖={nrm:.6f}")
+    log(
+        f"{args.steps} steps in {elapsed_sync:.3f}s "
+        f"(+transfer: {elapsed:.3f}s); ‖Ψ‖={nrm:.6f}"
+    )
+    # subtract the pure d2h transfer cost measured separately
+    t0 = time.perf_counter()
+    np.asarray(r1)
+    np.asarray(i1)
+    transfer = time.perf_counter() - t0
+    elapsed = max(elapsed - transfer, elapsed_sync, 1e-9)
+    log(f"d2h transfer alone: {transfer:.3f}s; using elapsed={elapsed:.3f}s")
 
     nnz_equiv = (L + 1) * N  # diag + one off-diag entry per site per row
     total_matvecs = args.steps * matvecs_per_step

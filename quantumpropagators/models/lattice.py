@@ -53,6 +53,18 @@ PAULI = {
 }
 
 
+def _group_dims(L: int, group_bits: int = 10) -> tuple:
+    """Split an ``L``-bit chain into contiguous groups of ≤ ``group_bits``
+    bits, as evenly as possible.  Group sizes stay ≥ ~7 bits (128 —
+    one MXU/VPU lane tile) whenever ``L`` allows, so no einsum axis is
+    pathologically small."""
+    if L <= group_bits:
+        return (L,)
+    d = -(-L // group_bits)  # ceil
+    base, rem = divmod(L, d)
+    return tuple([base + 1] * rem + [base] * (d - rem))
+
+
 @dataclass(frozen=True)
 class SiteOperatorSum:
     """``Σᵢ cᵢ · (𝟙 ⊗ … ⊗ Mᵢ ⊗ … ⊗ 𝟙)`` over an ``L``-site qubit chain.
@@ -62,31 +74,63 @@ class SiteOperatorSum:
     are skipped at trace time if ``active`` marks them inactive.
     Site 0 is the MOST significant bit of the state index
     (``kron(M_0, M_1, ...)`` convention).
+
+    ``apply`` MATRICIZES: contiguous groups of ~``group_bits`` sites are
+    summed (in-graph, loop-invariant → hoisted by XLA out of scans)
+    into dense ``(2^k, 2^k)`` group operators, and the state is
+    contracted group-by-group — ``d ≈ L/10`` MXU matmuls with all axes
+    ≥ 128 instead of ``L`` per-site passes with degenerate axis sizes
+    (which TPU tiling pads catastrophically).  Cost:
+    ``d · N · 2^group_bits`` FLOPs per matvec, MXU-bound.
     """
 
     site_mats: Any  # (L, 2, 2)
     L: int = 0
     active: tuple = ()  # static tuple of bools; () means all active
+    group_bits: int = 10
 
     @property
     def shape(self):
         return (2 ** self.L, 2 ** self.L)
 
+    def _group_operator(self, start: int, nbits: int, dtype):
+        """Dense ``(2^nbits, 2^nbits)`` sum of this group's site terms."""
+        active = self.active if self.active else (True,) * self.L
+        A = None
+        for i_loc in range(nbits):
+            i = start + i_loc
+            if not active[i]:
+                continue
+            M = self.site_mats[i].astype(dtype)
+            term = M
+            if i_loc > 0:
+                term = jnp.kron(jnp.eye(2 ** i_loc, dtype=dtype), term)
+            if nbits - 1 - i_loc > 0:
+                term = jnp.kron(
+                    term, jnp.eye(2 ** (nbits - 1 - i_loc), dtype=dtype)
+                )
+            A = term if A is None else A + term
+        return A
+
     def apply(self, psi):
         L = self.L
         N = 2 ** L
         lead = psi.shape[:-1]
-        out = jnp.zeros_like(psi, shape=lead + (N,))
-        active = self.active if self.active else (True,) * L
-        for i in range(L):
-            if not active[i]:
-                continue
-            # site i = bit (L-1-i) from the top: axes (2^i, 2, 2^(L-1-i))
-            resh = psi.reshape(lead + (2 ** i, 2, 2 ** (L - 1 - i)))
-            term = jnp.einsum(
-                "ab,...xbz->...xaz", self.site_mats[i].astype(psi.dtype), resh
-            )
-            out = out + term.reshape(lead + (N,))
+        out = None
+        start = 0
+        for nbits in _group_dims(L, self.group_bits):
+            A = self._group_operator(start, nbits, psi.dtype)
+            if A is not None:
+                pre = 2 ** start
+                F = 2 ** nbits
+                post = N // (pre * F)
+                resh = psi.reshape(lead + (pre, F, post))
+                term = jnp.einsum("ab,...xbz->...xaz", A, resh)
+                term = term.reshape(lead + (N,))
+                out = term if out is None else out + term
+            start += nbits
+        if out is None:
+            out = jnp.zeros_like(psi, shape=lead + (N,))
         return out
 
     def to_dense(self):
@@ -104,7 +148,7 @@ class SiteOperatorSum:
         return jnp.asarray(H)
 
 
-_register_pytree(SiteOperatorSum, ("site_mats",), ("L", "active"))
+_register_pytree(SiteOperatorSum, ("site_mats",), ("L", "active", "group_bits"))
 
 
 def _spins(L: int, dtype=jnp.float32):

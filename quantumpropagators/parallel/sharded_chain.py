@@ -115,7 +115,9 @@ def operator_shard_spec(op):
         if isinstance(term, DiagonalOperator):
             return DiagonalOperator(P(STATE_AXIS))
         if isinstance(term, SiteOperatorSum):
-            return SiteOperatorSum(P(), L=term.L, active=term.active)
+            return SiteOperatorSum(
+                P(), L=term.L, active=term.active, group_bits=term.group_bits
+            )
         if isinstance(term, ScaledOperator):
             return ScaledOperator(P(), _spec(term.operator))
         if isinstance(term, Operator):

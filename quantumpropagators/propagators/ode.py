@@ -146,6 +146,19 @@ class ODEContinuousPropagator(_ODEBase, IntervalStepper):
         )
         self._init_ode(rtol, atol, max_steps)
         self._rhs = ode_function(generator)
+        # fail fast with a clear message if the RHS is not traceable
+        try:
+            jax.eval_shape(
+                self._rhs, jax.ShapeDtypeStruct((), jnp.float64), state
+            )
+        except Exception as exc:
+            raise ValueError(
+                "Time-continuous ODE propagation evaluates H(t) inside the "
+                "compiled integrator, so every amplitude must be a "
+                "JAX-traceable function of t (use jnp.* math). For "
+                "host-side controls, use `pwc=True` (piecewise-constant "
+                f"evaluation on interval midpoints). Underlying error: {exc}"
+            ) from None
         self._cont_step = jax.jit(
             lambda psi, t0, t1: dopri5_integrate(
                 self._rhs,
@@ -174,13 +187,30 @@ ODEPropagator = (ODEPWCPropagator, ODEContinuousPropagator)
 
 def _factory(state, generator, tlist, **kwargs):
     # reference default is time-continuous (`pwc=false`,
-    # ext/QuantumPropagatorsODEExt.jl:101-106); `piecewise` is an alias
+    # ext/QuantumPropagatorsODEExt.jl:101-106); `piecewise` is an alias.
+    # If neither flag is given and the generator's amplitudes are not
+    # JAX-traceable, fall back to the PWC variant with a warning
+    # (host-side controls are the common case for users porting from
+    # the reference).
+    explicit = ("pwc" in kwargs) or ("piecewise" in kwargs)
     pwc = (kwargs.get("pwc") is True) or (kwargs.get("piecewise") is True)
     keep = ("backward", "parameters", "rtol", "atol", "max_steps")
-    cls = ODEPWCPropagator if pwc else ODEContinuousPropagator
-    return cls(
-        state, generator, tlist, **{k: v for k, v in kwargs.items() if k in keep}
-    )
+    filtered = {k: v for k, v in kwargs.items() if k in keep}
+    if pwc:
+        return ODEPWCPropagator(state, generator, tlist, **filtered)
+    try:
+        return ODEContinuousPropagator(state, generator, tlist, **filtered)
+    except ValueError:
+        if explicit:
+            raise
+        import warnings
+
+        warnings.warn(
+            "ODE method: amplitudes are not JAX-traceable; falling back "
+            "to piecewise-constant evaluation (pass pwc=True to silence, "
+            "or use jnp.* math in controls for time-continuous H(t))"
+        )
+        return ODEPWCPropagator(state, generator, tlist, **filtered)
 
 
 register_method("ode", _factory)
