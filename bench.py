@@ -90,7 +90,9 @@ def main():
     # inside jitted graphs but cannot transfer complex buffers, so the
     # jit boundary carries only real arrays (complex formed in-graph).
     H_diag, H_x = transverse_field_ising(L, J=J, g=g, h=h, dtype=jnp.float32)
-    op = Operator([H_diag, H_x], np.array([1.0], dtype=np.float32))
+    # precomputed matricized site groups: d ≈ L/10 real MXU matmuls
+    # per matvec (see models/lattice.py GroupedSiteSum)
+    op = Operator([H_diag, H_x.grouped()], np.array([1.0], dtype=np.float32))
 
     bound = J * (L - 1) + abs(h) * L + g * L
     e_min, delta = -bound, 2 * bound
@@ -114,39 +116,37 @@ def main():
             return cheby_apply(op, psi, coeffs, delta, e_min, args.dt), None
 
         psi, _ = jax.lax.scan(body, psi, None, length=n_steps)
-        return jnp.real(psi), jnp.imag(psi)
+        # ONLY a scalar f32 leaves the device: this backend's complex /
+        # bulk transfers are slow or unimplemented, and device
+        # block_until_ready under-reports — a forced tiny transfer is
+        # the reliable completion point.
+        return jnp.sqrt(jnp.sum(jnp.real(psi) ** 2 + jnp.imag(psi) ** 2))
+
+    n1, n2 = args.steps, 3 * args.steps
+
+    def timed(n):
+        t0 = time.perf_counter()
+        nrm = float(run(op, re, im, coeffs, n))
+        return time.perf_counter() - t0, nrm
 
     t0 = time.perf_counter()
-    r1, i1 = run(op, re, im, coeffs, args.steps)
-    r1.block_until_ready()
-    log(f"compile+first run ({args.steps} steps): {time.perf_counter()-t0:.1f}s")
+    timed(n1)
+    timed(n2)
+    log(f"compile+warmup ({n1} and {n2} steps): {time.perf_counter()-t0:.1f}s")
 
-    # timed run (same executable); time through the host transfer so
-    # async-dispatch semantics cannot under-report
-    t0 = time.perf_counter()
-    r2, i2 = run(op, r1, i1, coeffs, args.steps)
-    r2.block_until_ready()
-    elapsed_sync = time.perf_counter() - t0
-    r2h = np.asarray(r2, dtype=np.float64)
-    i2h = np.asarray(i2, dtype=np.float64)
-    elapsed = time.perf_counter() - t0
-    nrm = float(np.sqrt((r2h ** 2 + i2h ** 2).sum()))
+    t_1, nrm1 = timed(n1)
+    t_2, nrm = timed(n2)
+    elapsed = max(t_2 - t_1, 1e-9)  # isolates (n2-n1) steps of pure device time
+    steps_timed = n2 - n1
     log(
-        f"{args.steps} steps in {elapsed_sync:.3f}s "
-        f"(+transfer: {elapsed:.3f}s); ‖Ψ‖={nrm:.6f}"
+        f"{n1} steps: {t_1:.3f}s; {n2} steps: {t_2:.3f}s → "
+        f"{steps_timed} steps in {elapsed:.3f}s; ‖Ψ‖={nrm:.6f}"
     )
-    # subtract the pure d2h transfer cost measured separately
-    t0 = time.perf_counter()
-    np.asarray(r1)
-    np.asarray(i1)
-    transfer = time.perf_counter() - t0
-    elapsed = max(elapsed - transfer, elapsed_sync, 1e-9)
-    log(f"d2h transfer alone: {transfer:.3f}s; using elapsed={elapsed:.3f}s")
 
     nnz_equiv = (L + 1) * N  # diag + one off-diag entry per site per row
-    total_matvecs = args.steps * matvecs_per_step
+    total_matvecs = steps_timed * matvecs_per_step
     gnnz = total_matvecs * nnz_equiv / elapsed / 1e9
-    steps_per_s = args.steps / elapsed
+    steps_per_s = steps_timed / elapsed
     log(
         f"throughput: {gnnz:.2f} Gnnz/s "
         f"({total_matvecs} matvecs, {steps_per_s:.2f} steps/s)"

@@ -39,9 +39,12 @@ from ..ops.operators import DiagonalOperator, _register_pytree
 
 __all__ = [
     "SiteOperatorSum",
+    "GroupedSiteSum",
     "zz_chain_diagonal",
     "z_chain_diagonal",
+    "zz_bonds_diagonal",
     "transverse_field_ising",
+    "transverse_field_ising_2d",
     "PAULI",
 ]
 
@@ -151,36 +154,203 @@ class SiteOperatorSum:
 _register_pytree(SiteOperatorSum, ("site_mats",), ("L", "active", "group_bits"))
 
 
-def _spins(L: int, dtype=jnp.float32):
-    """(L, 2^L) array of ±1 spin values: row i is the value of
-    ``σᶻᵢ`` on each basis state (site 0 = most significant bit)."""
+@dataclass(frozen=True)
+class GroupedSiteSum:
+    """Matricized sum of single-site terms: per contiguous site group
+    ``g``, a PRECOMPUTED dense ``(F_g, F_g)`` operator
+    ``A_g = Σ_{i∈g} 𝟙⊗Mᵢ⊗𝟙``, applied as one MXU matmul over that
+    axis of the state.
+
+    The production-speed form of :class:`SiteOperatorSum`: group
+    operators are built once on the host (``SiteOperatorSum.grouped()``)
+    so a scanned propagation pays ``d = len(dims)`` matmuls per matvec
+    and nothing else (building them in-graph costs ~30× on TPU — XLA
+    does not hoist the kron chains out of ``lax.scan``).  Real-valued
+    group operators applied to complex states contract the real and
+    imaginary planes separately (two real MXU matmuls instead of one
+    emulated complex one).
+    """
+
+    group_mats: tuple  # one (F_g, F_g) array per group
+    dims: tuple = ()  # static (F_0, ..., F_{d-1}); prod = N
+
+    @property
+    def shape(self):
+        N = int(np.prod(self.dims))
+        return (N, N)
+
+    def apply(self, psi):
+        N = int(np.prod(self.dims))
+        lead = psi.shape[:-1]
+        out = None
+        pre = 1
+        for g, A in enumerate(self.group_mats):
+            F = self.dims[g]
+            post = N // (pre * F)
+            resh = psi.reshape(lead + (pre, F, post))
+            if A.dtype.kind == "f" and psi.dtype.kind == "c":
+                tr = jnp.einsum("ab,...xbz->...xaz", A, jnp.real(resh))
+                ti = jnp.einsum("ab,...xbz->...xaz", A, jnp.imag(resh))
+                term = jax.lax.complex(tr, ti)
+            else:
+                term = jnp.einsum("ab,...xbz->...xaz", A.astype(psi.dtype), resh)
+            term = term.reshape(lead + (N,))
+            out = term if out is None else out + term
+            pre *= F
+        if out is None:
+            out = jnp.zeros_like(psi, shape=lead + (N,))
+        return out
+
+    def to_dense(self):
+        N = int(np.prod(self.dims))
+        H = np.zeros((N, N), dtype=np.complex128)
+        pre = 1
+        for g, A in enumerate(self.group_mats):
+            F = self.dims[g]
+            post = N // (pre * F)
+            H += np.kron(
+                np.kron(np.eye(pre), np.asarray(A, dtype=np.complex128)),
+                np.eye(post),
+            )
+            pre *= F
+        return jnp.asarray(H)
+
+
+def _grouped_flatten(o):
+    return (o.group_mats,), (o.dims,)
+
+
+def _grouped_unflatten(aux, children):
+    return GroupedSiteSum(group_mats=tuple(children[0]), dims=aux[0])
+
+
+jax.tree_util.register_pytree_node(
+    GroupedSiteSum, _grouped_flatten, _grouped_unflatten
+)
+
+
+def _site_sum_grouped(self: "SiteOperatorSum", group_bits: int = None):
+    """Host-side conversion to :class:`GroupedSiteSum` (precomputed
+    group operators)."""
+    if group_bits is None:
+        group_bits = self.group_bits
+    L = self.L
+    active = self.active if self.active else (True,) * L
+    mats = np.asarray(self.site_mats)
+    dtype = mats.dtype
+    group_mats = []
+    dims = []
+    start = 0
+    for nbits in _group_dims(L, group_bits):
+        F = 2 ** nbits
+        A = np.zeros((F, F), dtype=dtype)
+        for i_loc in range(nbits):
+            i = start + i_loc
+            if not active[i]:
+                continue
+            term = np.kron(
+                np.kron(np.eye(2 ** i_loc, dtype=dtype), mats[i]),
+                np.eye(2 ** (nbits - 1 - i_loc), dtype=dtype),
+            )
+            A += term
+        group_mats.append(jnp.asarray(A))
+        dims.append(F)
+        start += nbits
+    return GroupedSiteSum(group_mats=tuple(group_mats), dims=tuple(dims))
+
+
+SiteOperatorSum.grouped = _site_sum_grouped
+
+
+def _spin(L: int, site: int, dtype=jnp.float32):
+    """±1 value of ``σᶻ`` at ``site`` on each of the 2^L basis states
+    (site 0 = most significant bit)."""
     idx = jnp.arange(2 ** L, dtype=jnp.uint32)
-    bits = (idx[None, :] >> (L - 1 - jnp.arange(L, dtype=jnp.uint32))[:, None]) & 1
-    return (1.0 - 2.0 * bits).astype(dtype)
+    bit = (idx >> np.uint32(L - 1 - site)) & 1
+    return (1.0 - 2.0 * bit).astype(dtype)
 
 
 def zz_chain_diagonal(L: int, J=1.0, *, periodic: bool = False, dtype=jnp.float32):
     """Diagonal of ``J Σᵢ σᶻᵢ σᶻᵢ₊₁`` as a length-2^L vector.
 
     ``J`` may be a scalar or a per-bond array of length ``L-1``
-    (``L`` if periodic)."""
-    s = _spins(L, dtype)
-    bonds = s[:-1] * s[1:]
+    (``L`` if periodic).  Built site-by-site: O(2^L) peak memory even
+    at 2^24."""
+    bonds = [(i, i + 1) for i in range(L - 1)]
     if periodic:
-        bonds = jnp.concatenate([bonds, (s[-1] * s[0])[None, :]], axis=0)
-    J = jnp.asarray(J, dtype=dtype)
-    if J.ndim == 0:
-        return J * jnp.sum(bonds, axis=0)
-    return jnp.tensordot(J, bonds, axes=(0, 0))
+        bonds.append((L - 1, 0))
+    return zz_bonds_diagonal(L, bonds, J, dtype=dtype)
 
 
 def z_chain_diagonal(L: int, h=1.0, *, dtype=jnp.float32):
     """Diagonal of ``Σᵢ hᵢ σᶻᵢ`` as a length-2^L vector."""
-    s = _spins(L, dtype)
-    h = jnp.asarray(h, dtype=dtype)
-    if h.ndim == 0:
-        return h * jnp.sum(s, axis=0)
-    return jnp.tensordot(h, s, axes=(0, 0))
+    h = np.broadcast_to(np.asarray(h, dtype=np.float64), (L,))
+    diag = jnp.zeros(2 ** L, dtype=dtype)
+    for i in range(L):
+        diag = diag + jnp.asarray(h[i], dtype=dtype) * _spin(L, i, dtype)
+    return diag
+
+
+def zz_bonds_diagonal(L: int, bonds, J=1.0, *, dtype=jnp.float32):
+    """Diagonal of ``Σ_b J_b σᶻ_{i_b} σᶻ_{j_b}`` for an arbitrary bond
+    list (any lattice/graph geometry) as a length-2^L vector.
+
+    Memory-lean: works bond-by-bond on sign vectors, never forming the
+    ``(L, 2^L)`` spin table."""
+    J = np.broadcast_to(np.asarray(J, dtype=np.float64), (len(bonds),))
+    diag = jnp.zeros(2 ** L, dtype=dtype)
+    for (i, j), Jb in zip(bonds, J):
+        diag = diag + jnp.asarray(Jb, dtype=dtype) * _spin(L, i, dtype) * _spin(
+            L, j, dtype
+        )
+    return diag
+
+
+def transverse_field_ising_2d(
+    Lx: int,
+    Ly: int,
+    *,
+    J: float = 1.0,
+    g: float = 1.0,
+    h: float = 0.0,
+    periodic: bool = False,
+    dtype=jnp.complex64,
+):
+    """2D transverse-field Ising on an ``Lx × Ly`` lattice
+    (``H = J Σ_<ij> σᶻᵢσᶻⱼ + h Σ σᶻᵢ + g Σ σˣᵢ``), site ``(x,y)`` at
+    chain position ``x·Ly + y``.
+
+    Same structure as the chain — ALL Pauli-Z content (arbitrarily many
+    bonds) still collapses into ONE diagonal vector and the transverse
+    part into one :class:`SiteOperatorSum` — so the 2^24-dim 2D-lattice
+    benchmark config (BASELINE.md) runs on the identical matricized /
+    sharded machinery as the 1D chain.
+    """
+    L = Lx * Ly
+    bonds = []
+    for x in range(Lx):
+        for y in range(Ly):
+            s = x * Ly + y
+            if x + 1 < Lx:
+                bonds.append((s, (x + 1) * Ly + y))
+            elif periodic and Lx > 2:
+                bonds.append((s, y))
+            if y + 1 < Ly:
+                bonds.append((s, x * Ly + y + 1))
+            elif periodic and Ly > 2:
+                bonds.append((s, x * Ly))
+    rdtype = jnp.finfo(dtype).dtype if dtype in (
+        jnp.complex64,
+        jnp.complex128,
+    ) else jnp.dtype(dtype)
+    diag = zz_bonds_diagonal(L, bonds, J, dtype=rdtype)
+    if h != 0.0:
+        diag = diag + z_chain_diagonal(L, h, dtype=rdtype)
+    H_diag = DiagonalOperator(diag.astype(dtype))
+    sx = np.asarray(PAULI["X"].real)
+    site_mats = jnp.asarray(np.stack([g * sx for _ in range(L)]), dtype=dtype)
+    H_x = SiteOperatorSum(site_mats, L=L)
+    return H_diag, H_x
 
 
 def transverse_field_ising(
@@ -207,7 +377,7 @@ def transverse_field_ising(
     if h != 0.0:
         diag = diag + z_chain_diagonal(L, h, dtype=rdtype)
     H_diag = DiagonalOperator(diag.astype(dtype))
-    sx = np.asarray(PAULI["X"])
+    sx = np.asarray(PAULI["X"].real)
     site_mats = jnp.asarray(np.stack([g * sx for _ in range(L)]), dtype=dtype)
     H_x = SiteOperatorSum(site_mats, L=L)
     return H_diag, H_x

@@ -93,3 +93,68 @@ def test_driven_chain_propagation():
     )
     res_e = qp.propagate(psi0, dense_gen, tlist, method="expprop")
     assert np.linalg.norm(np.asarray(res_c) - np.asarray(res_e)) < 1e-10
+
+
+def test_tfim_2d_matches_dense():
+    from quantumpropagators.models.lattice import transverse_field_ising_2d
+
+    Lx, Ly, J, g, h = 2, 3, 0.7, 1.3, -0.4
+    H_diag, H_x = transverse_field_ising_2d(
+        Lx, Ly, J=J, g=g, h=h, dtype=jnp.complex128
+    )
+    H = qp.Operator([H_diag, H_x], np.array([1.0]))
+    # dense reference over lattice bonds
+    L = Lx * Ly
+    I, X, Z = PAULI["I"], PAULI["X"], PAULI["Z"]
+
+    def site(op, i):
+        out = np.array([[1.0]], dtype=complex)
+        for j in range(L):
+            out = np.kron(out, op if j == i else I)
+        return out
+
+    dense = np.zeros((2 ** L, 2 ** L), dtype=complex)
+    for x in range(Lx):
+        for y in range(Ly):
+            s = x * Ly + y
+            dense += h * site(Z, s) + g * site(X, s)
+            if x + 1 < Lx:
+                dense += J * site(Z, s) @ site(Z, (x + 1) * Ly + y)
+            if y + 1 < Ly:
+                dense += J * site(Z, s) @ site(Z, x * Ly + y + 1)
+    assert np.allclose(np.asarray(to_dense(H)), dense, atol=1e-12)
+    # and it matches the native CSR assembly
+    from quantumpropagators.native import native_available, tfim_lattice2d_csr
+
+    if native_available():
+        import scipy.sparse as sp
+
+        indptr, cols, vals = tfim_lattice2d_csr(Lx, Ly, J, g, h)
+        A = sp.csr_matrix((vals, cols, indptr), shape=(2 ** L, 2 ** L))
+        assert np.abs(A.todense() - dense).max() < 1e-12
+
+
+def test_grouped_site_sum():
+    """Precomputed matricized groups match the in-graph form and dense."""
+    from quantumpropagators.models.lattice import transverse_field_ising
+
+    H_diag, H_x = transverse_field_ising(6, J=0.7, g=1.3, h=-0.4, dtype=jnp.complex128)
+    G = H_x.grouped(3)
+    assert G.dims == (8, 8)
+    rng = np.random.default_rng(0)
+    psi = jnp.asarray(random_state_vector(64, rng=rng))
+    assert np.allclose(np.asarray(apply(G, psi)), np.asarray(apply(H_x, psi)), atol=1e-13)
+    assert np.allclose(np.asarray(to_dense(G)), np.asarray(to_dense(H_x)), atol=1e-13)
+    # real-split path: real f32 group mats on a complex64 state
+    _, H32 = transverse_field_ising(6, J=0.7, g=1.3, h=-0.4, dtype=jnp.float32)
+    G32 = H32.grouped(3)
+    got = apply(G32, psi.astype(jnp.complex64))
+    assert np.allclose(
+        np.asarray(got), np.asarray(apply(H_x, psi)), atol=1e-5
+    )
+    # pytree round trip (jit-compatible)
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(G)
+    G2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert np.allclose(np.asarray(apply(G2, psi)), np.asarray(apply(G, psi)))
