@@ -70,6 +70,7 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--dt", type=float, default=0.05)
     ap.add_argument("--L-ref", type=int, default=16, help="CPU baseline chain length")
+    ap.add_argument("--group-bits", type=int, default=8, help="matricization group size (bits)")
     args = ap.parse_args()
 
     import jax
@@ -92,7 +93,7 @@ def main():
     H_diag, H_x = transverse_field_ising(L, J=J, g=g, h=h, dtype=jnp.float32)
     # precomputed matricized site groups: d ≈ L/10 real MXU matmuls
     # per matvec (see models/lattice.py GroupedSiteSum)
-    op = Operator([H_diag, H_x.grouped()], np.array([1.0], dtype=np.float32))
+    op = Operator([H_diag, H_x.grouped(args.group_bits)], np.array([1.0], dtype=np.float32))
 
     bound = J * (L - 1) + abs(h) * L + g * L
     e_min, delta = -bound, 2 * bound

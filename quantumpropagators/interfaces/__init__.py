@@ -9,13 +9,17 @@ from .checks import (
     check_parameterized_function,
     check_propagator,
     check_state,
+    check_state_vector_interface,
     check_tlist,
     supports_inplace,
+    supports_matrix_interface,
+    supports_vector_interface,
 )
 
 __all__ = [
     "check_tlist",
     "check_state",
+    "check_state_vector_interface",
     "check_operator",
     "check_generator",
     "check_amplitude",
@@ -24,4 +28,6 @@ __all__ = [
     "check_parameterized_function",
     "check_parameterized",
     "supports_inplace",
+    "supports_vector_interface",
+    "supports_matrix_interface",
 ]

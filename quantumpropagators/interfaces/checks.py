@@ -39,6 +39,7 @@ logger = logging.getLogger("quantumpropagators.interfaces")
 __all__ = [
     "check_tlist",
     "check_state",
+    "check_state_vector_interface",
     "check_operator",
     "check_generator",
     "check_amplitude",
@@ -64,6 +65,40 @@ def supports_inplace(obj) -> bool:
     if isinstance(obj, np.ndarray):
         return True
     return False
+
+
+def supports_vector_interface(obj) -> bool:
+    """Trait: does ``obj`` implement the 1D array *read* interface
+    (len / getitem / iteration), as required for states used with
+    vector-interface-dependent observables (reference
+    ``src/interfaces/supports_vector_interface.jl``)."""
+    try:
+        n = len(obj)
+        _ = obj[0]
+        it = iter(obj)
+        next(it)
+        return np.ndim(obj) == 1 and n >= 0
+    except Exception:
+        return False
+
+
+def supports_matrix_interface(obj) -> bool:
+    """Trait: does ``obj`` implement the 2D array *read* interface.
+    Lazy :class:`~quantumpropagators.models.generators.Operator` /
+    ``ScaledOperator`` forward to their densification (reference
+    ``src/interfaces/supports_matrix_interface.jl:34-36``)."""
+    from ..models.generators import Operator, ScaledOperator
+
+    if isinstance(obj, (Operator, ScaledOperator)):
+        return True
+    try:
+        shape = obj.shape
+        if len(shape) != 2:
+            return False
+        _ = obj[0, 0]
+        return True
+    except Exception:
+        return False
 
 
 def check_tlist(tlist, *, quiet: bool = False) -> bool:
@@ -167,6 +202,48 @@ def check_state(state, *, normalized: bool = False, quiet: bool = False) -> bool
             ok = False
     except Exception:
         pass
+    return ok
+
+
+def check_state_vector_interface(state, *, quiet: bool = False) -> bool:
+    """Verify the 1D read interface of a state (reference
+    ``src/interfaces/state.jl:393-598``): length, indexing, iteration,
+    dtype — required for vector-interface-dependent observables and
+    storage layouts."""
+    ok = True
+    try:
+        n = len(state)
+        if n <= 0:
+            _err(quiet, "a state must have positive length")
+            ok = False
+    except Exception as exc:
+        _err(quiet, f"len(state) must be defined: {exc}")
+        return False
+    try:
+        v0 = state[0]
+        complex(v0)
+    except Exception as exc:
+        _err(quiet, f"state[i] must return a number: {exc}")
+        ok = False
+    try:
+        count = sum(1 for _ in state)
+        if count != n:
+            _err(quiet, "iterating a state must yield len(state) entries")
+            ok = False
+    except Exception as exc:
+        _err(quiet, f"a state must be iterable: {exc}")
+        ok = False
+    try:
+        arr = np.asarray(state)
+        if arr.shape != (n,):
+            _err(quiet, "np.asarray(state) must give a 1D array of len(state)")
+            ok = False
+        if not np.iscomplexobj(arr):
+            _err(quiet, "the array view of a state must be complex")
+            ok = False
+    except Exception as exc:
+        _err(quiet, f"a state must be array-convertible: {exc}")
+        ok = False
     return ok
 
 
