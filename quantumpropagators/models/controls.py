@@ -178,6 +178,10 @@ def evaluate(obj: Any, *args, vals_dict: IdDict | None = None):
         return custom(*args, vals_dict=vals_dict)
     if isinstance(obj, (int, float, complex, np.number)):
         return obj
+    if isinstance(obj, tuple) and len(obj) > 0 and not np.isscalar(obj[0]):
+        # tuple-format generator `(H0, (H1, eps), ...)` evaluated
+        # directly (reference src/controls.jl:429-455)
+        return _evaluate_tuple_generator(obj, *args, vals_dict=vals_dict)
     if callable(obj):
         if len(args) == 1:
             return obj(float(args[0]))
@@ -214,6 +218,33 @@ def evaluate(obj: Any, *args, vals_dict: IdDict | None = None):
     return obj
 
 
+def _evaluate_tuple_generator(parts: tuple, *args, vals_dict=None):
+    """Evaluate ``(H0, (H1, eps), ...)`` to a static operator sum."""
+    op = None
+    for part in parts:
+        if isinstance(part, tuple):
+            if len(part) != 2:
+                raise ValueError("time-dependent term must be a 2-tuple (op, ampl)")
+            term_op, control = part
+            coeff = evaluate(control, *args, vals_dict=vals_dict)
+            if not isinstance(coeff, (int, float, complex, np.number)):
+                raise TypeError(
+                    f"control {control!r} does not evaluate to a number"
+                )
+            from ..ops.operators import scale_operator
+
+            term = scale_operator(coeff, term_op)
+        else:
+            term = part
+        if op is None:
+            op = term
+        else:
+            from ..ops.operators import add_operators
+
+            op = add_operators(op, term)
+    return op
+
+
 def get_controls(obj: Any) -> tuple:
     """Extract the tuple of controls from ``obj``.
 
@@ -227,6 +258,15 @@ def get_controls(obj: Any) -> tuple:
         return tuple(custom())
     if isinstance(obj, (int, float, complex, np.number)):
         return ()
+    if isinstance(obj, tuple):
+        # tuple-format generator: collect controls of (op, ampl) terms
+        controls: list = []
+        for part in obj:
+            if isinstance(part, tuple) and len(part) == 2:
+                for c in get_controls(part[1]):
+                    if not any(c is k for k in controls):
+                        controls.append(c)
+        return tuple(controls)
     if callable(obj):
         return (obj,)
     if isinstance(obj, (list, np.ndarray)) and np.ndim(obj) == 1:

@@ -351,6 +351,8 @@ def liouvillian(H=None, c_ops=(), *, convention: str):
 
     import scipy.sparse as sp
 
+    if isinstance(H, tuple):
+        H = hamiltonian(*H, check=False)
     terms = []
     if isinstance(H, Generator):
         off = H.drift_offset

@@ -125,6 +125,12 @@ def init_prop(state, generator, tlist, method: str = "auto", **kwargs) -> Propag
     reference's tolerant kwarg protocol, ``src/propagate.jl:102-104``).
     """
     tlist = np.asarray(tlist, dtype=np.float64)
+    if isinstance(generator, tuple):
+        # tuple-format generator `(H0, (H1, eps), ...)` (reference
+        # accepts these everywhere; normalize through the builder)
+        from ..models.generators import hamiltonian
+
+        generator = hamiltonian(*generator, check=False)
     key = str(method).lower()
     if key == "auto":
         key = "cheby"
