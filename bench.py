@@ -71,6 +71,8 @@ def main():
     ap.add_argument("--dt", type=float, default=0.05)
     ap.add_argument("--L-ref", type=int, default=16, help="CPU baseline chain length")
     ap.add_argument("--group-bits", type=int, default=8, help="matricization group size (bits)")
+    ap.add_argument("--lattice2d", type=str, default=None,
+                    help="LxxLy 2D lattice instead of a chain, e.g. 4x6")
     args = ap.parse_args()
 
     import jax
@@ -78,19 +80,32 @@ def main():
     from functools import partial
 
     from quantumpropagators import Operator
-    from quantumpropagators.models.lattice import transverse_field_ising
+    from quantumpropagators.models.lattice import (
+        transverse_field_ising,
+        transverse_field_ising_2d,
+    )
     from quantumpropagators.ops.cheby import cheby_apply, cheby_coeffs
 
-    L = args.L
-    N = 2 ** L
     J, g, h = 1.0, 1.2, 0.3
     dev = jax.devices()[0]
-    log(f"device: {dev} ({dev.platform}), L={L}, N={N}")
-
     # All operator data REAL (f32): this TPU backend runs complex math
     # inside jitted graphs but cannot transfer complex buffers, so the
     # jit boundary carries only real arrays (complex formed in-graph).
-    H_diag, H_x = transverse_field_ising(L, J=J, g=g, h=h, dtype=jnp.float32)
+    if args.lattice2d:
+        Lx, Ly = (int(v) for v in args.lattice2d.lower().split("x"))
+        L = Lx * Ly
+        N = 2 ** L
+        log(f"device: {dev} ({dev.platform}), 2D {Lx}x{Ly}, N={N}")
+        H_diag, H_x = transverse_field_ising_2d(
+            Lx, Ly, J=J, g=g, h=h, dtype=jnp.float32
+        )
+        label = f"tfim2d_{Lx}x{Ly}_2^{L}"
+    else:
+        L = args.L
+        N = 2 ** L
+        log(f"device: {dev} ({dev.platform}), L={L}, N={N}")
+        H_diag, H_x = transverse_field_ising(L, J=J, g=g, h=h, dtype=jnp.float32)
+        label = f"tfim_2^{L}"
     # precomputed matricized site groups: d ≈ L/10 real MXU matmuls
     # per matvec (see models/lattice.py GroupedSiteSum)
     op = Operator([H_diag, H_x.grouped(args.group_bits)], np.array([1.0], dtype=np.float32))
@@ -155,7 +170,7 @@ def main():
 
     baseline = cpu_csr_baseline(args.L_ref)
     result = {
-        "metric": f"cheby_spmv_throughput_tfim_2^{L}",
+        "metric": f"cheby_spmv_throughput_{label}",
         "value": round(gnnz, 3),
         "unit": "Gnnz/s",
         "vs_baseline": round(gnnz / baseline, 2),

@@ -30,13 +30,84 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from dataclasses import dataclass
+
 from ..models.generators import Operator, ScaledOperator
-from ..models.lattice import SiteOperatorSum
+from ..models.lattice import GroupedSiteSum, SiteOperatorSum
 from ..ops.cheby import cheby_apply
-from ..ops.operators import CSROperator, DiagonalOperator
+from ..ops.operators import CSROperator, DiagonalOperator, _register_pytree
 from .mesh import STATE_AXIS
 
-__all__ = ["sharded_apply", "make_sharded_cheby_step", "operator_shard_spec"]
+__all__ = [
+    "sharded_apply",
+    "make_sharded_cheby_step",
+    "operator_shard_spec",
+    "ShardedSiteSum",
+    "prepare_sharded_operator",
+]
+
+
+@dataclass(frozen=True)
+class ShardedSiteSum:
+    """A :class:`SiteOperatorSum` pre-split for an ``2^p``-device mesh:
+    the top ``p`` (device-index) sites as per-site ``(p, 2, 2)``
+    matrices (applied as pairwise ``ppermute`` block exchanges) and the
+    remaining sites as a precomputed local :class:`GroupedSiteSum`
+    (applied as MXU matmuls on the local block).  Built host-side by
+    :func:`prepare_sharded_operator`."""
+
+    device_mats: Any  # (p, 2, 2)
+    local: GroupedSiteSum
+    p: int = 0
+    L: int = 0
+    device_active: tuple = ()
+
+    @property
+    def shape(self):
+        return (2 ** self.L, 2 ** self.L)
+
+
+_register_pytree(
+    ShardedSiteSum,
+    ("device_mats", "local"),
+    ("p", "L", "device_active"),
+)
+
+
+def prepare_sharded_operator(op, n_devices: int, *, group_bits: int = None):
+    """Recursively convert :class:`SiteOperatorSum` terms inside ``op``
+    into :class:`ShardedSiteSum` for an ``n_devices`` mesh (host-side,
+    once per propagation)."""
+    p = int(np.log2(n_devices))
+    if 2 ** p != n_devices:
+        raise ValueError("device count must be a power of two")
+
+    def _conv(term):
+        if isinstance(term, SiteOperatorSum):
+            active = term.active if term.active else (True,) * term.L
+            local = SiteOperatorSum(
+                term.site_mats[p:],
+                L=term.L - p,
+                active=tuple(active[p:]),
+                group_bits=term.group_bits,
+            ).grouped(group_bits)
+            return ShardedSiteSum(
+                device_mats=term.site_mats[:p],
+                local=local,
+                p=p,
+                L=term.L,
+                device_active=tuple(active[:p]),
+            )
+        if isinstance(term, Operator):
+            o = object.__new__(Operator)
+            o.ops = [_conv(t) for t in term.ops]
+            o.coeffs = term.coeffs
+            return o
+        if isinstance(term, ScaledOperator):
+            return ScaledOperator(term.coeff, _conv(term.operator))
+        return term
+
+    return _conv(op)
 
 
 def _axis_size(axis_name: str) -> int:
@@ -54,6 +125,11 @@ def sharded_apply(op, psi_local, *, axis_name: str = STATE_AXIS):
     """
     if isinstance(op, DiagonalOperator):
         return op.diag * psi_local  # diag is pre-sharded to the local block
+    if isinstance(op, ShardedSiteSum):
+        out = op.local.apply(psi_local)
+        return _device_bit_terms(
+            op.device_mats, op.device_active, op.p, psi_local, out, axis_name
+        )
     if isinstance(op, SiteOperatorSum):
         return _sharded_site_sum(op, psi_local, axis_name)
     if isinstance(op, ScaledOperator):
@@ -73,22 +149,12 @@ def sharded_apply(op, psi_local, *, axis_name: str = STATE_AXIS):
     )
 
 
-def _sharded_site_sum(op: SiteOperatorSum, psi_local, axis_name: str):
+def _device_bit_terms(device_mats, device_active, p, psi_local, out, axis_name):
+    """Add the device-index-bit site terms: one pairwise ``ppermute``
+    block exchange per active device bit."""
     n_dev = _axis_size(axis_name)
-    p = int(np.log2(n_dev))
-    assert 2 ** p == n_dev, "device count must be a power of two"
-    L = op.L
-    L_local = L - p
     rank = jax.lax.axis_index(axis_name)
-    active = op.active if op.active else (True,) * L
-
-    # Local sites (low bits): a SiteOperatorSum on the local block.
-    local_op = SiteOperatorSum(
-        op.site_mats[p:], L=L_local, active=tuple(active[p:])
-    )
-    out = local_op.apply(psi_local)
-
-    # Device-bit sites (high bits): pairwise block exchange.
+    active = device_active if device_active else (True,) * p
     for b in range(p):
         if not active[b]:
             continue
@@ -96,11 +162,29 @@ def _sharded_site_sum(op: SiteOperatorSum, psi_local, axis_name: str):
         perm = [(s, s ^ mask) for s in range(n_dev)]
         recv = jax.lax.ppermute(psi_local, axis_name, perm)
         v = (rank >> (p - 1 - b)) & 1  # this device's value of bit b
-        M = op.site_mats[b].astype(psi_local.dtype)
+        M = device_mats[b].astype(psi_local.dtype)
         diag_c = jnp.where(v == 0, M[0, 0], M[1, 1])
         off_c = jnp.where(v == 0, M[0, 1], M[1, 0])
         out = out + diag_c * psi_local + off_c * recv
     return out
+
+
+def _sharded_site_sum(op: SiteOperatorSum, psi_local, axis_name: str):
+    n_dev = _axis_size(axis_name)
+    p = int(np.log2(n_dev))
+    assert 2 ** p == n_dev, "device count must be a power of two"
+    L = op.L
+    L_local = L - p
+    active = op.active if op.active else (True,) * L
+
+    # Local sites (low bits): a SiteOperatorSum on the local block.
+    local_op = SiteOperatorSum(
+        op.site_mats[p:], L=L_local, active=tuple(active[p:])
+    )
+    out = local_op.apply(psi_local)
+    return _device_bit_terms(
+        op.site_mats[:p], tuple(active[:p]), p, psi_local, out, axis_name
+    )
 
 
 def operator_shard_spec(op):
@@ -114,6 +198,17 @@ def operator_shard_spec(op):
     def _spec(term):
         if isinstance(term, DiagonalOperator):
             return DiagonalOperator(P(STATE_AXIS))
+        if isinstance(term, ShardedSiteSum):
+            return ShardedSiteSum(
+                device_mats=P(),
+                local=GroupedSiteSum(
+                    group_mats=tuple(P() for _ in term.local.group_mats),
+                    dims=term.local.dims,
+                ),
+                p=term.p,
+                L=term.L,
+                device_active=term.device_active,
+            )
         if isinstance(term, SiteOperatorSum):
             return SiteOperatorSum(
                 P(), L=term.L, active=term.active, group_bits=term.group_bits
