@@ -113,3 +113,78 @@ def test_ode_backward():
     fwd = qp.propagate(psi0, gen, tlist, method="ode")
     back = qp.propagate(fwd, gen, tlist, method="ode", backward=True)
     assert np.linalg.norm(np.asarray(back) - np.asarray(psi0)) < 1e-7
+
+
+# -- ExponentialUtilities-style backend characterization --------------------
+# (mirrors the reference's test_exponential_utilities.jl: pin down the
+# behavior of the expv backend across operator types and modes)
+
+
+def test_expv_csr_operator():
+    from quantumpropagators.ops.operators import csr_from_dense
+
+    rng = np.random.default_rng(60)
+    H = random_matrix(200, spectral_radius=3.0, hermitian=True, density=0.1, rng=rng)
+    psi = random_state_vector(200, rng=rng)
+    dt = 0.4
+    exact = expm(-1j * H * dt) @ psi
+    res = expv_apply(csr_from_dense(H), jnp.asarray(psi), dt, m=40)
+    assert np.linalg.norm(np.asarray(res) - exact) < 1e-10
+
+
+def test_expv_lazy_operator():
+    rng = np.random.default_rng(61)
+    H0 = random_matrix(100, hermitian=True, spectral_radius=2, rng=rng)
+    H1 = random_matrix(100, hermitian=True, spectral_radius=1, rng=rng)
+    op = qp.Operator([jnp.asarray(H0), jnp.asarray(H1)], np.array([0.7]))
+    psi = random_state_vector(100, rng=rng)
+    dt = 0.3
+    exact = expm(-1j * (H0 + 0.7 * H1) * dt) @ psi
+    res = expv_apply(op, jnp.asarray(psi), dt, m=40)
+    assert np.linalg.norm(np.asarray(res) - exact) < 1e-10
+
+
+def test_expv_custom_func():
+    """func=expm(+z) (Liouville-style application without the -i)."""
+    import scipy.linalg
+
+    rng = np.random.default_rng(62)
+    G = random_matrix(150, spectral_radius=1.5, hermitian=False, rng=rng)
+    psi = random_state_vector(150, rng=rng)
+    dt = 0.5
+    exact = expm(G * dt) @ psi
+    res = expv_apply(
+        jnp.asarray(G), jnp.asarray(psi), dt, m=40,
+        func=lambda M: scipy.linalg.expm(M),
+    )
+    assert np.linalg.norm(np.asarray(res) - exact) < 1e-9
+
+
+def test_expv_zero_state():
+    res = expv_apply(jnp.eye(8, dtype=complex), jnp.zeros(8, dtype=complex), 0.5)
+    assert np.linalg.norm(np.asarray(res)) == 0.0
+
+
+def test_expv_backward_dt():
+    rng = np.random.default_rng(63)
+    H = random_matrix(120, hermitian=True, spectral_radius=4, rng=rng)
+    psi = random_state_vector(120, rng=rng)
+    fwd = expv_apply(jnp.asarray(H), jnp.asarray(psi), 0.4, m=40)
+    back = expv_apply(jnp.asarray(H), fwd, -0.4, m=40)
+    assert np.linalg.norm(np.asarray(back) - psi) < 1e-10
+
+
+def test_expv_tol_grows_m():
+    """With a loose starting m and tight tol, the error estimate must
+    drive the Krylov dimension up until accuracy is reached."""
+    rng = np.random.default_rng(64)
+    H = random_matrix(400, hermitian=True, spectral_radius=20.0, rng=rng)
+    psi = random_state_vector(400, rng=rng)
+    dt = 0.5
+    exact = expm(-1j * H * dt) @ psi
+    res_fixed = expv_apply(jnp.asarray(H), jnp.asarray(psi), dt, m=8)
+    res_adapt = expv_apply(jnp.asarray(H), jnp.asarray(psi), dt, m=8, tol=1e-12)
+    err_fixed = np.linalg.norm(np.asarray(res_fixed) - exact)
+    err_adapt = np.linalg.norm(np.asarray(res_adapt) - exact)
+    assert err_adapt < 1e-9
+    assert err_adapt < err_fixed / 100
