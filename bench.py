@@ -70,7 +70,7 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--dt", type=float, default=0.05)
     ap.add_argument("--L-ref", type=int, default=16, help="CPU baseline chain length")
-    ap.add_argument("--group-bits", type=int, default=8, help="matricization group size (bits)")
+    ap.add_argument("--group-bits", type=int, default=10, help="matricization group size (bits)")
     ap.add_argument("--lattice2d", type=str, default=None,
                     help="LxxLy 2D lattice instead of a chain, e.g. 4x6")
     args = ap.parse_args()

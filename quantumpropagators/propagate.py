@@ -40,6 +40,7 @@ def propagate(
     callback: Optional[Callable] = None,
     show_progress: bool = False,
     propagator: Optional[Propagator] = None,
+    fused: bool = False,
     _return_both: bool = False,
     **kwargs,
 ):
@@ -57,9 +58,26 @@ def propagate(
     - ``callback(propagator, observables)`` runs after every step.
     - ``backward=True`` propagates from ``tlist[-1]`` to ``tlist[0]``
       (storage filled back-to-front).
+    - ``fused=True`` (cheby only): run the whole time grid as ONE
+      compiled ``lax.scan`` on device — no per-step host dispatch.
+      Observables must then be jittable functions of the state (or
+      operators → expectation values); host callbacks are unsupported.
 
     Returns the final state, or the storage if ``storage=True``.
     """
+    if fused:
+        return _propagate_fused(
+            state,
+            generator,
+            tlist,
+            method=method,
+            backward=backward,
+            storage=storage,
+            observables=observables,
+            callback=callback,
+            _return_both=_return_both,
+            **kwargs,
+        )
     if propagator is None:
         if generator is None or tlist is None:
             raise ValueError("propagate requires (state, generator, tlist)")
@@ -90,6 +108,89 @@ def propagate(
         show_progress=show_progress,
         _return_both=_return_both,
     )
+
+
+def _propagate_fused(
+    state,
+    generator,
+    tlist,
+    *,
+    method,
+    backward,
+    storage,
+    observables,
+    callback,
+    _return_both,
+    **kwargs,
+):
+    """Fully device-side propagation (see :mod:`quantumpropagators.fused`)."""
+    import jax.numpy as jnp
+
+    from .fused import cheby_propagate_fused
+    from .ops.operators import is_operator, op_dot
+
+    if str(method).lower() not in ("cheby", "auto"):
+        raise ValueError("fused=True currently supports method='cheby'")
+    if callback is not None:
+        raise ValueError(
+            "fused=True runs entirely on device; per-step host callbacks "
+            "are unsupported (use observables instead)"
+        )
+    tlist = np.asarray(tlist, dtype=np.float64)
+    observable_fn = None
+    store_states = False
+    if storage is not None and storage is not False:
+        if observables is None:
+            store_states = True
+        else:
+            obs = observables if isinstance(observables, (tuple, list)) else (observables,)
+
+            def observable_fn(psi, _obs=tuple(obs)):
+                vals = []
+                for o in _obs:
+                    if is_operator(o):
+                        vals.append(op_dot(psi, o, psi))
+                    else:
+                        vals.append(o(psi))
+                return vals[0] if len(vals) == 1 else jnp.stack(
+                    [jnp.asarray(v) for v in vals]
+                )
+
+    psi_final, outputs = cheby_propagate_fused(
+        state,
+        generator,
+        tlist,
+        observable_fn=observable_fn,
+        store_states=store_states,
+        backward=backward,
+        **kwargs,
+    )
+    out_storage = None
+    if storage is not None and storage is not False:
+        nt = len(tlist)
+        start_idx = nt - 1 if backward else 0
+        if store_states:
+            first = np.asarray(state)
+            series = np.asarray(outputs)  # (nt-1, N) in propagation order
+        else:
+            first = np.asarray(
+                observable_fn(jnp.asarray(state))
+            )
+            series = np.asarray(outputs)
+        if backward:
+            series = series[::-1]
+            full = np.concatenate([series, first[None, ...]], axis=0)
+        else:
+            full = np.concatenate([first[None, ...], series], axis=0)
+        out_storage = np.moveaxis(full, 0, -1)  # time axis last
+        if storage is not True:
+            storage[...] = out_storage
+            out_storage = storage
+    if _return_both:
+        return psi_final, out_storage
+    if storage is True:
+        return out_storage
+    return psi_final
 
 
 def propagate_propagator(

@@ -68,3 +68,41 @@ def _count_cheby_scan_compiles():
     from quantumpropagators.fused import _fused_scan
 
     return _fused_scan._cache_size()
+
+
+def test_propagate_fused_flag(problem):
+    """propagate(..., fused=True) matches the host-loop driver for
+    final state, state storage, and observable storage, both ways."""
+    gen, tlist, psi0 = problem
+    ref_final = qp.propagate(psi0, gen, tlist, method="cheby")
+    got_final = qp.propagate(psi0, gen, tlist, method="cheby", fused=True)
+    assert np.linalg.norm(np.asarray(got_final) - np.asarray(ref_final)) < 1e-12
+
+    ref_st = qp.propagate(psi0, gen, tlist, method="cheby", storage=True)
+    got_st = qp.propagate(psi0, gen, tlist, method="cheby", fused=True, storage=True)
+    assert got_st.shape == ref_st.shape
+    assert np.allclose(got_st, np.asarray(ref_st), atol=1e-12)
+
+    rng = np.random.default_rng(1)
+    O = jnp.asarray(random_matrix(16, hermitian=True, rng=rng))
+    ref_obs = qp.propagate(
+        psi0, gen, tlist, method="cheby", observables=(O,), storage=True
+    )
+    got_obs = qp.propagate(
+        psi0, gen, tlist, method="cheby", fused=True, observables=(O,), storage=True
+    )
+    assert np.allclose(np.asarray(got_obs), np.asarray(ref_obs), atol=1e-12)
+
+    # backward storage fills back-to-front identically
+    psi_T = jnp.asarray(np.asarray(ref_st)[:, -1])
+    ref_b = qp.propagate(psi_T, gen, tlist, method="cheby", backward=True, storage=True)
+    got_b = qp.propagate(
+        psi_T, gen, tlist, method="cheby", fused=True, backward=True, storage=True
+    )
+    assert np.allclose(np.asarray(got_b), np.asarray(ref_b), atol=1e-12)
+
+    with pytest.raises(ValueError, match="callback"):
+        qp.propagate(psi0, gen, tlist, method="cheby", fused=True,
+                     callback=lambda p, o: None)
+    with pytest.raises(ValueError, match="cheby"):
+        qp.propagate(psi0, gen, tlist, method="newton", fused=True)
