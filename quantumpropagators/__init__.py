@@ -40,6 +40,8 @@ from .models.crab import (
 from .models.lattice import SiteOperatorSum, transverse_field_ising
 from .ops.operators import (
     CSROperator,
+    DIAOperator,
+    dia_from_scipy,
     DiagonalOperator,
     StackedCSROperator,
     apply,
@@ -94,6 +96,8 @@ __all__ = [
     "coeff_table",
     # operators
     "CSROperator",
+    "DIAOperator",
+    "dia_from_scipy",
     "DiagonalOperator",
     "StackedCSROperator",
     "apply",

@@ -3,6 +3,8 @@
 expectation values / densification vs dense equivalents; CSR and
 Diagonal operators; StackedCSR coefficient fusion."""
 
+import sys
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -127,3 +129,54 @@ def test_operator_is_pytree(rng):
     out2 = f(Operator([H0, H1], jnp.asarray([2.0])), psi)
     assert len(traces) == 1  # same structure → no retrace
     assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_dia_operator(rng):
+    import scipy.sparse as sp
+    from quantumpropagators.ops.operators import DIAOperator, dia_from_scipy
+
+    N = 128
+    A = sp.diags(
+        [
+            (rng.standard_normal(N - 5) + 1j * rng.standard_normal(N - 5)),
+            (rng.standard_normal(N) + 1j * rng.standard_normal(N)),
+            (rng.standard_normal(N - 2) + 1j * rng.standard_normal(N - 2)),
+        ],
+        [-5, 0, 2],
+        format="csr",
+    )
+    op = dia_from_scipy(A)
+    assert op.offsets == (-5, 0, 2)
+    psi = random_state_vector(N, rng=rng)
+    assert np.allclose(np.asarray(apply(op, jnp.asarray(psi))), A @ psi, atol=1e-12)
+    assert np.allclose(np.asarray(to_dense(op)), A.todense(), atol=1e-12)
+    # batched
+    batch = np.stack([random_state_vector(N, rng=rng) for _ in range(3)])
+    out = np.asarray(apply(op, jnp.asarray(batch)))
+    assert np.allclose(out, batch @ np.asarray(A.todense()).T, atol=1e-12)
+
+
+def test_dia_optomech_cheby(rng):
+    """Optomech-style kron operator in DIA format through a Chebyshev
+    step (the TPU-friendly generic-sparse path)."""
+    import scipy.sparse as sp
+    from scipy.linalg import expm
+    from quantumpropagators.ops.cheby import cheby_apply, cheby_coeffs
+    from quantumpropagators.ops.operators import dia_from_scipy
+
+    sys.path  # noqa
+    from tests.test_optomech import build_optomech
+
+    H0, H_int = build_optomech()
+    H = (H0 + 0.5 * H_int).tocsr()
+    op = dia_from_scipy(H)
+    assert len(op.offsets) <= 25  # kron structure → few diagonals
+    N = H.shape[0]
+    ev = np.linalg.eigvalsh(H.todense())
+    e_min, delta = float(ev[0]), float(ev[-1] - ev[0])
+    dt = 0.02
+    psi = random_state_vector(N, rng=rng)
+    a = jnp.asarray(cheby_coeffs(delta, dt))
+    got = cheby_apply(op, jnp.asarray(psi), a, delta, e_min, dt)
+    exact = expm(-1j * np.asarray(H.todense()) * dt) @ psi
+    assert np.linalg.norm(np.asarray(got) - exact) < 1e-10
