@@ -109,6 +109,27 @@ class Operator:
         ops = [substitute(op, replacements) for op in self.ops]
         return Operator(ops, self.coeffs)
 
+    def __getitem__(self, idx):
+        """Matrix-interface read access ``O[i, j]`` (reference
+        ``src/generators.jl:184-216``): the lazily-summed entry."""
+        off = self.drift_offset
+        val = 0
+        for i, op in enumerate(self.ops):
+            if isinstance(op, (jnp.ndarray, np.ndarray)):
+                entry = op[idx]
+            else:
+                entry = to_dense(op)[idx]
+            if i >= off:
+                entry = self.coeffs[i - off] * entry
+            val = val + entry
+        return val
+
+    def ishermitian(self, tol: float = 1e-12) -> bool:
+        """Best-effort hermiticity check (densifies; reference
+        ``src/generators.jl:219-221``)."""
+        A = np.asarray(self.to_dense())
+        return bool(np.allclose(A, A.conj().T, atol=tol))
+
     def __repr__(self):
         return f"Operator({len(self.ops)} ops, coeffs={np.asarray(self.coeffs)!r})"
 
