@@ -70,7 +70,8 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--dt", type=float, default=0.05)
     ap.add_argument("--L-ref", type=int, default=16, help="CPU baseline chain length")
-    ap.add_argument("--group-bits", type=int, default=10, help="matricization group size (bits)")
+    ap.add_argument("--group-bits", type=int, default=0,
+                    help="matricization group size in bits (0 = auto)")
     ap.add_argument("--lattice2d", type=str, default=None,
                     help="LxxLy 2D lattice instead of a chain, e.g. 4x6")
     args = ap.parse_args()
@@ -108,7 +109,13 @@ def main():
         label = f"tfim_2^{L}"
     # precomputed matricized site groups: d ≈ L/10 real MXU matmuls
     # per matvec (see models/lattice.py GroupedSiteSum)
-    op = Operator([H_diag, H_x.grouped(args.group_bits)], np.array([1.0], dtype=np.float32))
+    # measured optimum: larger groups (fewer memory passes) win up to
+    # ~2^21; smaller groups (fewer FLOPs) win beyond
+    group_bits = args.group_bits or (10 if L <= 21 else 8)
+    log(f"matricization group_bits={group_bits}")
+    op = Operator(
+        [H_diag, H_x.grouped(group_bits)], np.array([1.0], dtype=np.float32)
+    )
 
     bound = J * (L - 1) + abs(h) * L + g * L
     e_min, delta = -bound, 2 * bound

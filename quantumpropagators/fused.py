@@ -94,6 +94,10 @@ def cheby_propagate_fused(
     skip that (e.g. with analytic bounds).
     """
     tlist = np.asarray(tlist, dtype=np.float64)
+    if isinstance(generator, tuple):
+        from .models.generators import hamiltonian
+
+        generator = hamiltonian(*generator, check=False)
     if workspace is None:
         from .propagators.cheby import ChebyPropagator
 
@@ -145,6 +149,10 @@ def make_fused_cheby_propagator(
     ``fn(psi0, coeffs_table) -> (psi_final, outputs)`` hitting one
     compiled executable for every control update."""
     tlist = np.asarray(tlist, dtype=np.float64)
+    if isinstance(generator, tuple):
+        from .models.generators import hamiltonian
+
+        generator = hamiltonian(*generator, check=False)
     from .propagators.cheby import ChebyPropagator
 
     prop = ChebyPropagator(psi0, generator, tlist, **cheby_kwargs)
