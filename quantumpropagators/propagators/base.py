@@ -81,6 +81,19 @@ class Propagator:
             )
         object.__setattr__(self, name, value)
 
+    def __getattr__(self, name):
+        # property firewall (reference src/propagator.jl:77-86): the
+        # generator is not readable either — methods may internally
+        # transform it, so exposing it would leak a lie
+        if name == "generator":
+            raise AttributeError(
+                "A propagator does not expose its generator (it may be "
+                "internally transformed); keep your own reference if needed"
+            )
+        raise AttributeError(
+            f"{type(self).__name__!r} object has no attribute {name!r}"
+        )
+
 
 class PiecewisePropagator(Propagator):
     """Propagator moving on the intervals of ``tlist`` with per-interval
