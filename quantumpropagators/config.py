@@ -18,7 +18,6 @@ Nothing in this module forces a platform; call :func:`use_cpu_x64` early
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ described in SURVEY §5.
 from __future__ import annotations
 
 import logging
-from typing import Any, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -31,7 +30,7 @@ from ..models.controls import (
     substitute,
 )
 from ..models.generators import Generator, Operator
-from ..ops.operators import apply, is_operator, op_dot, op_shape
+from ..ops.operators import apply, op_dot, op_shape
 from ..utils.iddict import IdDict
 
 logger = logging.getLogger("quantumpropagators.interfaces")

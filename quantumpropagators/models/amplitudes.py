@@ -18,17 +18,13 @@ immediately.
 
 from __future__ import annotations
 
-from typing import Any, Optional
-
 import numpy as np
 
-from ..utils.iddict import IdDict
 from .controls import (
     discretize_on_midpoints,
     evaluate,
     get_controls,
     substitute,
-    t_mid,
 )
 
 __all__ = ["LockedAmplitude", "ShapedAmplitude", "GuidedAmplitude", "ControlAmplitude"]

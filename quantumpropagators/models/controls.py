@@ -17,7 +17,7 @@ unlike the 1-based Julia reference.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Any
 
 import numpy as np
 

@@ -19,8 +19,7 @@ the reference's midpoint-discretized parameter dict
 from __future__ import annotations
 
 import warnings
-from dataclasses import dataclass
-from typing import Any, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +33,6 @@ from ..ops.operators import (
     to_dense,
 )
 from ..utils.iddict import IdDict
-from . import controls as _controls
 from .controls import evaluate, get_controls, substitute
 
 __all__ = [

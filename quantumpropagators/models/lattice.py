@@ -29,7 +29,7 @@ coefficient algebra and all propagators unchanged.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Optional, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ works without a toolchain (``native_available()`` reports the state).
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 import threading
 from pathlib import Path

@@ -20,8 +20,7 @@ changes don't force recompilation (SURVEY §7.4.5).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp

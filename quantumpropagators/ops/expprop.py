@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
-import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
 from .operators import apply, to_dense

@@ -18,7 +18,6 @@ flow costs nothing while keeping every shape static.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax

@@ -12,7 +12,6 @@ algebra (see :mod:`quantumpropagators.propagators.ode`).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

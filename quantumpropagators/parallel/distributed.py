@@ -16,9 +16,8 @@ module provides the TPU-native equivalents it lacks:
 from __future__ import annotations
 
 import json
-import os
 from pathlib import Path
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import numpy as np

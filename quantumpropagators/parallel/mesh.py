@@ -10,7 +10,7 @@ transparently, so multi-host runs reuse the exact same code after
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -23,19 +23,19 @@ The Chebyshev recurrence needs **no reductions** (SURVEY §5
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from dataclasses import dataclass
 
 from ..models.generators import Operator, ScaledOperator
 from ..models.lattice import GroupedSiteSum, SiteOperatorSum
 from ..ops.cheby import cheby_apply
-from ..ops.operators import CSROperator, DiagonalOperator, _register_pytree
+from ..ops.operators import DiagonalOperator, _register_pytree
 from .mesh import STATE_AXIS
 
 __all__ = [

@@ -24,7 +24,6 @@ shapes; all slabs are padded to the maximum per-device nnz so the
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any
 
 import jax

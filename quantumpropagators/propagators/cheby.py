@@ -17,14 +17,11 @@ executable.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..models.controls import discretize
-from ..models.generators import Generator, Operator
 from ..ops.cheby import ChebyWorkspace, cheby_apply
 from ..ops.specrange import specrange
 from ..utils.iddict import IdDict

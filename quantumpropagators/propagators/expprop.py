@@ -17,7 +17,6 @@ import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 import numpy as np
 
-from ..models.generators import Operator
 from ..ops.operators import to_dense
 from ..utils.timings import TimingData
 from .base import register_method

@@ -12,8 +12,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-import numpy as np
-
 from ..ops.expv import expv_apply
 from ..utils.timings import TimingData
 from .base import register_method

@@ -12,8 +12,6 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
-import numpy as np
-
 from ..ops.newton import NewtonInfo, newton_apply
 from ..utils.timings import TimingData
 from .base import register_method

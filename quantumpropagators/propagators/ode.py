@@ -17,13 +17,11 @@ variants, as in the reference:
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from ..models.generators import Generator, Operator
+from ..models.generators import Generator
 from ..ops.ode import dopri5_integrate
 from ..ops.operators import apply
 from ..utils.timings import TimingData

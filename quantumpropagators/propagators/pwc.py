@@ -17,7 +17,6 @@ Conventions (reference ``src/pwc_utils.jl:1-24``):
 from __future__ import annotations
 
 import warnings
-from typing import Any, Optional
 
 import numpy as np
 

@@ -15,8 +15,6 @@ function ``f(state, tlist, n)`` (reference ``src/storage.jl:100-123``).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
-
 import jax.numpy as jnp
 import numpy as np
 

@@ -8,7 +8,7 @@ vectors, and random dynamic generators.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 
