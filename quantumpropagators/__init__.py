@@ -37,7 +37,12 @@ from .models.crab import (
     VariedFrequencyCRABFunction,
     crab_initial_parameters,
 )
-from .models.lattice import SiteOperatorSum, transverse_field_ising
+from .models.lattice import (
+    GroupedSiteSum,
+    SiteOperatorSum,
+    transverse_field_ising,
+    transverse_field_ising_2d,
+)
 from .ops.operators import (
     CSROperator,
     DIAOperator,
@@ -86,7 +91,9 @@ __all__ = [
     "crab_initial_parameters",
     # lattice models
     "SiteOperatorSum",
+    "GroupedSiteSum",
     "transverse_field_ising",
+    "transverse_field_ising_2d",
     # generators
     "Generator",
     "Operator",

@@ -111,7 +111,8 @@ class IntervalStepper(Propagator):
             # snap UP to the first grid point >= t (reference
             # src/pwc_utils.jl:62, searchsortedfirst)
             idx = int(np.searchsorted(tlist, t, side="left"))
-        if not np.isclose(t, tlist[idx], rtol=1e-10, atol=1e-12):
+        if not np.isclose(t, tlist[idx], rtol=1.5e-8, atol=0.0):
+            # rtol matches Julia isapprox (sqrt(eps)) for parity
             warnings.warn(f"Snapping t={t} to time grid value {tlist[idx]}")
         self.t = float(tlist[idx])
         self.n = idx - 1 if self.backward else idx
