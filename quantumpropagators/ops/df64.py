@@ -192,19 +192,44 @@ def _gather_cdd(x: CDD, idx) -> CDD:
     )
 
 
-def _flip_apply(psi: CDD, L: int, flip_coeffs, diag: DD) -> CDD:
+def _flip_dd(x: DD, L: int, k: int) -> DD:
+    """Exact bit-flip permutation of a df64 array: site ``k`` (0 = MSB).
+
+    Expressed as an axis reversal over a 3D view — pure data movement
+    (exact, and contiguous-copy cheap on TPU when the trailing dim is
+    large; for the low ~7 bits the reversal is a lane shuffle, still
+    exact, slower — acceptable for the accuracy mode)."""
+    pre, post = 2 ** k, 2 ** (L - 1 - k)
+
+    def f(a):
+        return jnp.flip(a.reshape(pre, 2, post), axis=1).reshape(-1)
+
+    return DD(f(x.hi), f(x.lo))
+
+
+def _flip_apply(psi: CDD, L: int, flip_coeffs, diag: DD, *, use_gather=None) -> CDD:
     """``H psi`` for ``H = diag + Σ_k c_k X_k`` (bit-flip permutations),
     all in df64.  ``flip_coeffs`` is a host tuple of floats (one per
-    site; site 0 = MSB); zero coefficients are skipped statically."""
+    site; site 0 = MSB); zero coefficients are skipped statically.
+
+    Bit flips are EXACT data movement; by default they are realized as
+    axis reversals (``jnp.flip``), which TPUs execute as contiguous
+    copies for all but the lowest bits.  Set ``use_gather=True`` to use
+    an index-gather instead (fine on CPU, pathological on TPU).
+    """
     N = 2 ** L
     # diagonal part: elementwise df64 product (real diag × complex psi)
     out = CDD(dd_mul(psi.re, diag), dd_mul(psi.im, diag))
-    idx = jnp.arange(N, dtype=jnp.uint32)
+    if use_gather:
+        idx = jnp.arange(N, dtype=jnp.uint32)
     for k in range(L):
         c = float(flip_coeffs[k])
         if c == 0.0:
             continue
-        flipped = _gather_cdd(psi, idx ^ np.uint32(1 << (L - 1 - k)))
+        if use_gather:
+            flipped = _gather_cdd(psi, idx ^ np.uint32(1 << (L - 1 - k)))
+        else:
+            flipped = CDD(_flip_dd(psi.re, L, k), _flip_dd(psi.im, L, k))
         term = _cdd_real_scale(flipped, _dd_const(c))
         out = cdd_add(out, term)
     return out
