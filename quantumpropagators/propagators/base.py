@@ -146,7 +146,7 @@ def init_prop(state, generator, tlist, method: str = "auto", **kwargs) -> Propag
         generator = hamiltonian(*generator, check=False)
     key = str(method).lower()
     if key == "auto":
-        key = "cheby"
+        key = "cheby" if _looks_hermitian(generator, state, tlist) else "newton"
     try:
         factory = _METHODS[key]
     except KeyError:
@@ -187,6 +187,36 @@ def reinit_prop(propagator: Propagator, state, **kwargs):
     ``src/propagator.jl:283-312``)."""
     propagator._reinit(state, **kwargs)
     return propagator
+
+
+def _looks_hermitian(generator, state, tlist) -> bool:
+    """Cheap probabilistic hermiticity probe for ``method='auto'``:
+    compare ``⟨x, H y⟩`` with ``conj(⟨y, H x⟩)`` on random vectors for
+    the generator evaluated on the first interval.  Chooses Chebyshev
+    for Hermitian-looking generators, Newton otherwise."""
+    import jax.numpy as jnp
+
+    from ..models.controls import evaluate
+    from ..ops.operators import apply, op_shape
+
+    try:
+        op = evaluate(generator, np.asarray(tlist, dtype=np.float64), 0)
+        N = op_shape(op)[1]
+        rng = np.random.default_rng(0)
+        dtype = np.asarray(state).dtype if state is not None else np.complex128
+        x = jnp.asarray(
+            (rng.standard_normal(N) + 1j * rng.standard_normal(N)), dtype=dtype
+        )
+        y = jnp.asarray(
+            (rng.standard_normal(N) + 1j * rng.standard_normal(N)), dtype=dtype
+        )
+        a = complex(jnp.vdot(x, apply(op, y)))
+        b = complex(jnp.vdot(y, apply(op, x)))
+        scale = max(abs(a), abs(b), 1e-300)
+        tol = 1e-5 if np.asarray(x).dtype == np.complex64 else 1e-10
+        return abs(a - np.conj(b)) / scale < tol
+    except Exception:
+        return True  # default to cheby if the probe cannot run
 
 
 def get_uniform_dt(tlist, *, tol: float = 1e-12, warn: bool = False) -> Optional[float]:

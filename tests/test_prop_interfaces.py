@@ -109,3 +109,24 @@ def test_parameter_mutation_changes_dynamics(problem):
             break
         s1, s2 = r1, r2
     assert np.linalg.norm(np.asarray(s1) - np.asarray(s2)) > 1e-6
+
+
+def test_auto_method_selection():
+    """method='auto' picks Chebyshev for Hermitian generators and
+    Newton for non-Hermitian ones (Liouvillians)."""
+    import quantumpropagators as qp
+    from quantumpropagators.propagators import ChebyPropagator, NewtonPropagator
+
+    rng = np.random.default_rng(5)
+    H = random_dynamic_generator(12, np.linspace(0, 1, 11), rng=rng)
+    psi = jnp.asarray(random_state_vector(12, rng=rng))
+    prop = qp.init_prop(psi, H, np.linspace(0, 1, 11), method="auto")
+    assert isinstance(prop, ChebyPropagator)
+    # a dissipative Liouvillian is non-Hermitian
+    SM = np.array([[0, 1], [0, 0]], dtype=complex)
+    L = qp.liouvillian(
+        jnp.asarray(np.diag([0.5, -0.5]).astype(complex)), [SM], convention="TDSE"
+    )
+    rho0 = jnp.asarray(np.array([0, 0, 0, 1], dtype=complex))
+    prop2 = qp.init_prop(rho0, L, np.linspace(0, 1, 11), method="auto")
+    assert isinstance(prop2, NewtonPropagator)
