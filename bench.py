@@ -74,6 +74,9 @@ def main():
                     help="matricization group size in bits (0 = auto)")
     ap.add_argument("--lattice2d", type=str, default=None,
                     help="LxxLy 2D lattice instead of a chain, e.g. 4x6")
+    ap.add_argument("--complex", dest="planar", action="store_false",
+                    help="use the complex64 kernel instead of the planar "
+                         "(re,im)-f32 fast path")
     args = ap.parse_args()
 
     import jax
@@ -86,6 +89,7 @@ def main():
         transverse_field_ising_2d,
     )
     from quantumpropagators.ops.cheby import cheby_apply, cheby_coeffs
+    from quantumpropagators.ops.planar import cheby_apply_planar
 
     J, g, h = 1.0, 1.2, 0.3
     dev = jax.devices()[0]
@@ -133,6 +137,21 @@ def main():
 
     @partial(jax.jit, static_argnames=("n_steps",))
     def run(op, re, im, coeffs, n_steps):
+        if args.planar:
+            # planar fast path: (re, im) f32 planes end-to-end — no
+            # complex interleave/deinterleave passes in the loop
+            def body(carry, _):
+                r, i = carry
+                return (
+                    cheby_apply_planar(
+                        op, r, i, coeffs, delta, e_min, args.dt
+                    ),
+                    None,
+                )
+
+            (re, im), _ = jax.lax.scan(body, (re, im), None, length=n_steps)
+            return jnp.sqrt(jnp.sum(re ** 2 + im ** 2))
+
         psi = re + 1j * im
 
         def body(psi, _):
@@ -184,6 +203,7 @@ def main():
         "extra": {
             "steps_per_s": round(steps_per_s, 3),
             "matvecs_per_step": matvecs_per_step,
+            "kernel": "planar_f32" if args.planar else "complex64",
             "platform": dev.platform,
             "state_norm_after": round(nrm, 9),
         },
