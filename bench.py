@@ -74,9 +74,17 @@ def main():
                     help="matricization group size in bits (0 = auto)")
     ap.add_argument("--lattice2d", type=str, default=None,
                     help="LxxLy 2D lattice instead of a chain, e.g. 4x6")
-    ap.add_argument("--complex", dest="planar", action="store_false",
-                    help="use the complex64 kernel instead of the planar "
-                         "(re,im)-f32 fast path")
+    ap.add_argument("--kernel", choices=("fused", "planar", "complex"),
+                    default="fused",
+                    help="fused = single-pass Pallas Chebyshev iteration "
+                         "(ops/fused_cheby.py); planar = (re,im)-f32 XLA "
+                         "path; complex = complex64 XLA path")
+    ap.add_argument("--complex", dest="kernel", action="store_const",
+                    const="complex")
+    ap.add_argument("--planar", dest="kernel", action="store_const",
+                    const="planar")
+    ap.add_argument("--tile-rows", type=int, default=512,
+                    help="Pallas tile rows for the fused kernel")
     args = ap.parse_args()
 
     import jax
@@ -89,6 +97,10 @@ def main():
         transverse_field_ising_2d,
     )
     from quantumpropagators.ops.cheby import cheby_apply, cheby_coeffs
+    from quantumpropagators.ops.fused_cheby import (
+        cheby_step_fused,
+        make_flip_plan,
+    )
     from quantumpropagators.ops.planar import cheby_apply_planar
 
     J, g, h = 1.0, 1.2, 0.3
@@ -135,9 +147,30 @@ def main():
     re = jnp.asarray(re0 / nrm0, dtype=jnp.float32)
     im = jnp.asarray(im0 / nrm0, dtype=jnp.float32)
 
+    if args.kernel == "fused":
+        plan = make_flip_plan(L, g, tile_rows=args.tile_rows)
+        log(
+            f"fused plan: tile_rows={plan.tile_rows} "
+            f"row_bits={plan.n_row_bits} cross_bits={plan.n_cross}"
+        )
+
     @partial(jax.jit, static_argnames=("n_steps",))
     def run(op, re, im, coeffs, n_steps):
-        if args.planar:
+        if args.kernel == "fused":
+            def body(carry, _):
+                r, i = carry
+                return (
+                    cheby_step_fused(
+                        plan, H_diag.diag, r, i, coeffs,
+                        delta, e_min, args.dt,
+                    ),
+                    None,
+                )
+
+            (re, im), _ = jax.lax.scan(body, (re, im), None, length=n_steps)
+            return jnp.sqrt(jnp.sum(re ** 2 + im ** 2))
+
+        if args.kernel == "planar":
             # planar fast path: (re, im) f32 planes end-to-end — no
             # complex interleave/deinterleave passes in the loop
             def body(carry, _):
@@ -203,7 +236,11 @@ def main():
         "extra": {
             "steps_per_s": round(steps_per_s, 3),
             "matvecs_per_step": matvecs_per_step,
-            "kernel": "planar_f32" if args.planar else "complex64",
+            "kernel": {
+                "fused": "fused_pallas",
+                "planar": "planar_f32",
+                "complex": "complex64",
+            }[args.kernel],
             "platform": dev.platform,
             "state_norm_after": round(nrm, 9),
         },

@@ -1,0 +1,360 @@
+"""Fused single-pass Pallas kernel for the Chebyshev hot loop on
+diagonal-plus-site-flip Hamiltonians (the TFIM family, any lattice
+dimension).
+
+Motivation.  The Chebyshev recurrence (reference ``src/cheby.jl:150-213``)
+is bandwidth-bound at large N: per polynomial order it touches v₀, v₁,
+Φ, and the Hamiltonian application.  The XLA path expresses ``H·v`` as a
+chain of grouped einsums + elementwise ops; above 2^22 XLA's fusion
+choices degrade sharply (measured: 259 → 114 → 76 Gnnz/s for 2^22 →
+2^23 → 2^24 on one TPU chip).  This module fuses one *entire* Chebyshev
+iteration
+
+    v₂ = c·(H v₁ − β v₁) + v₀,   Φ += a_k v₂
+
+into a single Pallas pass over the state, so each iteration's HBM
+traffic is exactly: read v₀, v₁, W, Φ, diag; write v₂, Φ.
+
+Structure exploited (H = diag(d) + Σⱼ gⱼ·Xⱼ, Xⱼ = flip of index bit j):
+
+- state planes (re, im) viewed as ``(ROWS, 128)`` f32;
+- **lane bits** (0–6): all 7 flip terms at once as ONE 128×128 MXU
+  matmul ``t @ A_lane`` (A_lane = Σ_{j<7} gⱼ·flipⱼ adjacency);
+- **in-tile row bits**: sublane rolls ``±2^j`` with a parity select
+  (pure VPU, no extra HBM traffic);
+- **cross-tile (top) bits**: one small hypercube-adjacency matmul
+  ``W = A_cross @ v₁.reshape(T, N/T)`` in XLA per iteration — the only
+  non-fused pass, MXU-bound and cheap (T ≤ a few hundred);
+- the purely imaginary Chebyshev scalar c means the recurrence is a
+  plane swap with one real scale (cf. :mod:`.planar`) — the kernel is
+  100% real f32 arithmetic.
+
+Like the reference kernel, arbitrary time steps/controls enter only
+through ``(coeffs, Δ, E_min, dt)``; the kernel is retraced only when
+shapes change.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:  # pltpu imports fail on some CPU-only builds
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+__all__ = ["FlipPlan", "make_flip_plan", "cheby_step_fused"]
+
+_LANE = 128
+_LANE_BITS = 7
+
+
+def _flip_adjacency(bits: np.ndarray, gs: np.ndarray) -> np.ndarray:
+    """Σⱼ gⱼ·(flip of local bit j) adjacency over ``len(bits)`` bits."""
+    n = 1 << len(bits)
+    A = np.zeros((n, n), dtype=np.float32)
+    for j, g in enumerate(gs):
+        idx = np.arange(n)
+        A[idx ^ (1 << j), idx] += g
+    return A
+
+
+@dataclass(frozen=True)
+class FlipPlan:
+    """Static (hashable — used as a jit static arg) plan for one
+    ``(L, g, tile_rows)`` flip-Hamiltonian."""
+
+    L: int
+    tile_rows: int          # rows per Pallas tile (R_t, 128)
+    n_row_bits: int         # in-tile row bits handled by rolls
+    n_cross: int            # top bits handled by the XLA cross matmul
+    gs: tuple               # per-site flip coefficient, length L
+
+    @property
+    def lane_mat(self) -> np.ndarray:
+        """(128, 128) Σ_{j<7} g_j flip_j adjacency."""
+        return _flip_adjacency(
+            np.arange(_LANE_BITS), np.asarray(self.gs[:_LANE_BITS])
+        )
+
+    @property
+    def cross_mat(self) -> np.ndarray | None:
+        """(T, T) top-bit adjacency, T = 2^n_cross."""
+        if not self.n_cross:
+            return None
+        return _flip_adjacency(
+            np.arange(self.n_cross), np.asarray(self.gs[-self.n_cross:])
+        )
+
+    @property
+    def row_gs(self) -> tuple:
+        return self.gs[_LANE_BITS:_LANE_BITS + self.n_row_bits]
+
+
+def make_flip_plan(L: int, g, tile_rows: int = 512) -> FlipPlan:
+    """Plan for ``H_x = Σ_j g_j X_j`` on ``2^L`` states.
+
+    ``g`` is a scalar (uniform transverse field) or a length-``L``
+    per-site vector; site ``j`` flips index bit ``j``.
+    """
+    if L < _LANE_BITS + 3:
+        raise ValueError(f"fused kernel needs L >= {_LANE_BITS + 3}, got {L}")
+    gs = np.broadcast_to(np.asarray(g, dtype=np.float32), (L,))
+    rows = 1 << (L - _LANE_BITS)
+    tile_rows = min(tile_rows, rows)
+    n_row_bits = int(np.log2(tile_rows))
+    if (1 << n_row_bits) != tile_rows:
+        raise ValueError("tile_rows must be a power of two")
+    n_cross = L - _LANE_BITS - n_row_bits
+    return FlipPlan(
+        L=L,
+        tile_rows=tile_rows,
+        n_row_bits=n_row_bits,
+        n_cross=n_cross,
+        gs=tuple(float(v) for v in gs),
+    )
+
+
+def _apply_h_tile(plan: FlipPlan, tr, lane_mat, dmb, w):
+    """In-tile ``(H − β)·t`` for one real plane: diag + lane flips +
+    row flips (+ cross term ``w`` precomputed outside)."""
+    u = tr * dmb + jnp.dot(tr, lane_mat, preferred_element_type=tr.dtype)
+    if w is not None:
+        u = u + w
+    if plan.n_row_bits:
+        rows = jax.lax.broadcasted_iota(jnp.int32, tr.shape, 0)
+        for j, gj in enumerate(plan.row_gs):
+            dist = 1 << j
+            bit_set = (rows & dist) != 0
+            flipped = jnp.where(
+                bit_set,
+                jnp.roll(tr, dist, axis=0),
+                jnp.roll(tr, -dist, axis=0),
+            )
+            u = u + gj * flipped
+    return u
+
+
+def _iter_kernel(plan, s2, a_ref, v0r, v0i, v1r, v1i, wr, wi, dmb, phr, phi,
+                 lane, o_v2r, o_v2i, o_phr, o_phi):
+    """One fused Chebyshev iteration on one (R_t, 128) tile."""
+    a = a_ref[0, 0]
+    lm = lane[:]
+    d = dmb[:]
+    ur = _apply_h_tile(plan, v1r[:], lm, d, wr[:] if wr is not None else None)
+    ui = _apply_h_tile(plan, v1i[:], lm, d, wi[:] if wi is not None else None)
+    v2r = -s2 * ui + v0r[:]
+    v2i = s2 * ur + v0i[:]
+    o_v2r[:] = v2r
+    o_v2i[:] = v2i
+    o_phr[:] = phr[:] + a * v2r
+    o_phi[:] = phi[:] + a * v2i
+
+
+def _first_kernel(plan, s, a0, a1, v0r, v0i, wr, wi, dmb, lane,
+                  o_v1r, o_v1i, o_phr, o_phi):
+    """Chebyshev setup: v₁ = c·(H−β)v₀, Φ = a₀v₀ + a₁v₁ on one tile."""
+    lm = lane[:]
+    d = dmb[:]
+    ur = _apply_h_tile(plan, v0r[:], lm, d, wr[:] if wr is not None else None)
+    ui = _apply_h_tile(plan, v0i[:], lm, d, wi[:] if wi is not None else None)
+    v1r = -s * ui
+    v1i = s * ur
+    o_v1r[:] = v1r
+    o_v1i[:] = v1i
+    o_phr[:] = a0 * v0r[:] + a1 * v1r
+    o_phi[:] = a0 * v0i[:] + a1 * v1i
+
+
+def _tile_specs(plan, n_tiles):
+    vec = pl.BlockSpec(
+        (plan.tile_rows, _LANE),
+        lambda i: (i, 0),
+        memory_space=pltpu.VMEM if _HAS_PLTPU else None,
+    )
+    lane = pl.BlockSpec(
+        (_LANE, _LANE),
+        lambda i: (0, 0),
+        memory_space=pltpu.VMEM if _HAS_PLTPU else None,
+    )
+    return vec, lane
+
+
+def _cross_term(plan: FlipPlan, cross, vr, vi):
+    """W = A_cross @ v over the top bits (XLA MXU pass)."""
+    T = 1 << plan.n_cross
+    n = vr.size
+    wr = (cross @ vr.reshape(T, n // T)).reshape(vr.shape)
+    wi = (cross @ vi.reshape(T, n // T)).reshape(vi.shape)
+    return wr, wi
+
+
+def _plane2d(x):
+    return x.reshape(-1, _LANE)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("plan", "dt", "delta", "e_min", "forward", "interpret"),
+)
+def cheby_step_fused(
+    plan: FlipPlan,
+    diag,
+    re,
+    im,
+    coeffs,
+    delta,
+    e_min,
+    dt,
+    *,
+    forward: bool = True,
+    interpret: bool = False,
+):
+    """One Chebyshev step ``exp(-i H dt)`` with
+    ``H = diag + Σ g_j X_j`` on planar f32 state ``(re, im)``.
+
+    Mathematically identical to :func:`.cheby.cheby_apply` /
+    :func:`.planar.cheby_apply_planar` (reference ``src/cheby.jl:150-213``);
+    each polynomial order is a single fused Pallas pass plus one small
+    cross-bit matmul.  ``delta``/``e_min``/``dt`` are static floats;
+    control amplitudes enter via ``coeffs``/``diag`` arrays.
+    """
+    rdtype = re.dtype
+    shape = re.shape
+    n = re.size
+    rows = n // _LANE
+    n_tiles = rows // plan.tile_rows
+    beta = float(delta) / 2.0 + float(e_min)
+    sign = -1.0 if forward else 1.0
+    s = float(sign * 2.0 / delta)
+    s2 = 2.0 * s
+
+    lane_mat = jnp.asarray(plan.lane_mat, dtype=rdtype)
+    dmb = _plane2d(diag.astype(rdtype) - rdtype.type(beta))
+    has_cross = plan.n_cross > 0
+    cross = (
+        jnp.asarray(plan.cross_mat, dtype=rdtype) if has_cross else None
+    )
+    a = coeffs.astype(rdtype)
+
+    vec, lane = _tile_specs(plan, n_tiles)
+    smem = (
+        pl.BlockSpec(
+            (1, 1),
+            lambda i: (0, 0),
+            memory_space=pltpu.SMEM if _HAS_PLTPU else None,
+        )
+        if _HAS_PLTPU
+        else pl.BlockSpec((1, 1), lambda i: (0, 0))
+    )
+    out_shape = [jax.ShapeDtypeStruct((rows, _LANE), rdtype)] * 4
+
+    # coeffs may be traced: a₀/a₁ enter the first kernel via SMEM
+    smem2 = (
+        pl.BlockSpec(
+            (1, 2),
+            lambda i: (0, 0),
+            memory_space=pltpu.SMEM if _HAS_PLTPU else None,
+        )
+        if _HAS_PLTPU
+        else pl.BlockSpec((1, 2), lambda i: (0, 0))
+    )
+
+    def run_first(v0r, v0i, wr, wi):
+        args = [jnp.stack([a[0], a[1]]).reshape(1, 2), v0r, v0i]
+        specs = [smem2, vec, vec]
+        if has_cross:
+            args += [wr, wi]
+            specs += [vec, vec]
+
+        def kern(a01_ref, v0r_, v0i_, *rest):
+            if has_cross:
+                wr_, wi_, dmb_, lane_, o1, o2, o3, o4 = rest
+            else:
+                dmb_, lane_, o1, o2, o3, o4 = rest
+                wr_ = wi_ = None
+            _first_kernel(
+                plan, s, a01_ref[0, 0], a01_ref[0, 1],
+                v0r_, v0i_, wr_, wi_, dmb_, lane_, o1, o2, o3, o4,
+            )
+
+        return pl.pallas_call(
+            kern,
+            grid=(n_tiles,),
+            in_specs=specs + [vec, lane],
+            out_specs=[vec] * 4,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*args, dmb, lane_mat)
+
+    def run_iter(a_k, v0r, v0i, v1r, v1i, wr, wi, phr, phi):
+        args = [a_k.reshape(1, 1), v0r, v0i, v1r, v1i]
+        specs = [smem, vec, vec, vec, vec]
+        if has_cross:
+            args += [wr, wi]
+            specs += [vec, vec]
+        args += [dmb, phr, phi, lane_mat]
+        specs += [vec, vec, vec, lane]
+
+        def kern(a_ref, v0r_, v0i_, v1r_, v1i_, *rest):
+            if has_cross:
+                wr_, wi_, dmb_, phr_, phi_, lane_, o1, o2, o3, o4 = rest
+            else:
+                dmb_, phr_, phi_, lane_, o1, o2, o3, o4 = rest
+                wr_ = wi_ = None
+            _iter_kernel(
+                plan, s2, a_ref, v0r_, v0i_, v1r_, v1i_, wr_, wi_,
+                dmb_, phr_, phi_, lane_, o1, o2, o3, o4,
+            )
+
+        # v0 buffers become v2, Φ accumulates in place
+        n_w = 2 if has_cross else 0
+        aliases = {1: 0, 2: 1, 5 + n_w + 1: 2, 5 + n_w + 2: 3}
+        return pl.pallas_call(
+            kern,
+            grid=(n_tiles,),
+            in_specs=specs,
+            out_specs=[vec] * 4,
+            out_shape=out_shape,
+            input_output_aliases=aliases,
+            interpret=interpret,
+        )(*args)
+
+    v0r = _plane2d(re)
+    v0i = _plane2d(im)
+    if has_cross:
+        w0r, w0i = _cross_term(plan, cross, v0r, v0i)
+    else:
+        w0r = w0i = None
+    v1r, v1i, phr, phi = run_first(v0r, v0i, w0r, w0i)
+
+    def body(carry, a_k):
+        v0r, v0i, v1r, v1i, phr, phi = carry
+        if has_cross:
+            wr, wi = _cross_term(plan, cross, v1r, v1i)
+        else:
+            wr = wi = None
+        v2r, v2i, phr, phi = run_iter(
+            a_k, v0r, v0i, v1r, v1i, wr, wi, phr, phi
+        )
+        return (v1r, v1i, v2r, v2i, phr, phi), None
+
+    (_, _, _, _, phr, phi), _ = jax.lax.scan(
+        body, (v0r, v0i, v1r, v1i, phr, phi), a[2:]
+    )
+
+    # final global phase exp(-i β dt)
+    ang = -float(dt) * beta
+    pr, pi = np.cos(ang), np.sin(ang)
+    out_r = rdtype.type(pr) * phr - rdtype.type(pi) * phi
+    out_i = rdtype.type(pr) * phi + rdtype.type(pi) * phr
+    return out_r.reshape(shape), out_i.reshape(shape)
