@@ -25,6 +25,7 @@ import numpy as np
 
 from .models.generators import Generator, Operator, coeff_table
 from .ops.cheby import ChebyWorkspace, cheby_apply
+from .ops.fused_cheby import cheby_step_fused, flip_structure
 
 __all__ = ["cheby_propagate_fused", "make_fused_cheby_propagator"]
 
@@ -69,6 +70,56 @@ def _fused_scan(
     return jax.lax.scan(step, psi0, coeffs_table)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "plan", "diag_col", "flip_col", "delta", "e_min", "dt",
+        "forward", "observable_fn", "store_states", "interpret",
+    ),
+)
+def _fused_scan_pallas(
+    plan,
+    diag,
+    diag_col,
+    flip_col,
+    coeffs_table,
+    psi0,
+    cheby_coeffs,
+    delta,
+    e_min,
+    dt,
+    forward,
+    observable_fn,
+    store_states,
+    interpret=False,
+):
+    """Scan the single-pass Pallas kernel (:mod:`.ops.fused_cheby`) over
+    the coefficient table, with the state held as (re, im) f32 planes
+    for the whole propagation."""
+    rdtype = jnp.finfo(psi0.dtype).dtype
+    re = jnp.real(psi0).astype(rdtype)
+    im = jnp.imag(psi0).astype(rdtype)
+
+    def step(carry, table_row):
+        re, im = carry
+        d = diag if diag_col is None else table_row[diag_col] * diag
+        fsc = None if flip_col is None else table_row[flip_col]
+        re, im = cheby_step_fused(
+            plan, d, re, im, cheby_coeffs, delta, e_min, dt,
+            flip_scale=fsc, forward=forward, interpret=interpret,
+        )
+        if observable_fn is not None:
+            out = observable_fn(jax.lax.complex(re, im))
+        elif store_states:
+            out = jax.lax.complex(re, im)
+        else:
+            out = None
+        return (re, im), out
+
+    (re, im), outputs = jax.lax.scan(step, (re, im), coeffs_table)
+    return jax.lax.complex(re, im), outputs
+
+
 def cheby_propagate_fused(
     psi0,
     generator,
@@ -80,6 +131,7 @@ def cheby_propagate_fused(
     store_states: bool = False,
     backward: bool = False,
     apply_fn=None,
+    kernel: str = "auto",
     **cheby_kwargs,
 ):
     """Propagate ``psi0`` over all of ``tlist`` in one compiled scan.
@@ -92,6 +144,12 @@ def cheby_propagate_fused(
     ``workspace`` defaults to building a :class:`ChebyPropagator`-style
     workspace via spectral-range estimation; pass one explicitly to
     skip that (e.g. with analytic bounds).
+
+    ``kernel`` selects the step implementation: ``"xla"`` (generic
+    operator algebra), ``"pallas"`` (single-pass fused TPU kernel;
+    requires diagonal-plus-site-flip structure, see
+    :func:`~.ops.fused_cheby.flip_structure`), or ``"auto"`` (pallas
+    when the structure matches and a TPU is present, else xla).
     """
     tlist = np.asarray(tlist, dtype=np.float64)
     if isinstance(generator, tuple):
@@ -118,13 +176,50 @@ def cheby_propagate_fused(
     else:
         ops = [generator]
         coeffs_table = jnp.zeros((len(tlist) - 1, 0))
-    op_holder = Operator(list(ops), jnp.zeros((coeffs_table.shape[1],)))
+    # keep the scan dtype-stable: tables/coefficients in the state's
+    # real dtype (an f64 control table must not promote a c64 state)
+    rdtype = jnp.finfo(psi0.dtype).dtype
+    coeffs_table = jnp.asarray(coeffs_table, dtype=rdtype)
+    cheby_coeff_arr = jnp.asarray(workspace.coeffs, dtype=rdtype)
     dt = workspace.dt if not backward else -workspace.dt
+    if kernel not in ("auto", "xla", "pallas"):
+        raise ValueError(f"unknown kernel={kernel!r}")
+    if kernel in ("auto", "pallas") and apply_fn is None:
+        fs = flip_structure(list(ops))
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if fs is not None and (kernel == "pallas" or on_tpu):
+            plan, diag, diag_pos, flip_pos = fs
+            off = len(ops) - int(np.asarray(coeffs_table).shape[1])
+            diag_col = diag_pos - off if diag_pos >= off else None
+            flip_col = flip_pos - off if flip_pos >= off else None
+            return _fused_scan_pallas(
+                plan,
+                diag.astype(rdtype),
+                diag_col,
+                flip_col,
+                coeffs_table,
+                psi0,
+                cheby_coeff_arr,
+                float(workspace.delta),
+                float(workspace.e_min),
+                float(dt),
+                not backward,
+                observable_fn,
+                store_states,
+                interpret=not on_tpu,
+            )
+        if kernel == "pallas":
+            raise ValueError(
+                "kernel='pallas' requires diagonal-plus-site-flip "
+                "structure (one DiagonalOperator + one X-type "
+                "SiteOperatorSum term)"
+            )
+    op_holder = Operator(list(ops), jnp.zeros((coeffs_table.shape[1],)))
     psi_final, outputs = _fused_scan(
         op_holder,
-        jnp.asarray(coeffs_table),
+        coeffs_table,
         psi0,
-        workspace.coeffs,
+        cheby_coeff_arr,
         workspace.delta,
         workspace.e_min,
         dt,

@@ -52,7 +52,12 @@ except Exception:  # pragma: no cover
     pltpu = None
     _HAS_PLTPU = False
 
-__all__ = ["FlipPlan", "make_flip_plan", "cheby_step_fused"]
+__all__ = [
+    "FlipPlan",
+    "make_flip_plan",
+    "cheby_step_fused",
+    "flip_structure",
+]
 
 _LANE = 128
 _LANE_BITS = 7
@@ -124,12 +129,67 @@ def make_flip_plan(L: int, g, tile_rows: int = 512) -> FlipPlan:
     )
 
 
-def _apply_h_tile(plan: FlipPlan, tr, lane_mat, dmb, w):
+def flip_structure(ops, tile_rows: int = 512):
+    """Detect the diagonal-plus-site-flip structure the fused kernel
+    accepts.
+
+    ``ops`` is a list of operator terms (e.g. ``Operator.ops``).  If it
+    consists of exactly one :class:`~..models.lattice.DiagonalOperator`
+    and one X-type :class:`~..models.lattice.SiteOperatorSum` (every
+    per-site matrix real ``[[0, a], [a, 0]]``), returns
+    ``(plan, diag, diag_pos, flip_pos)`` where ``*_pos`` index into
+    ``ops``; otherwise ``None``.
+
+    Site ``i`` in the MSB-first kron convention
+    (``models/lattice.py``) maps to index bit ``L-1-i`` in the plan.
+    """
+    from ..models.lattice import SiteOperatorSum
+    from .operators import DiagonalOperator
+
+    if len(ops) != 2:
+        return None
+    diag_pos = flip_pos = None
+    for k, op in enumerate(ops):
+        if isinstance(op, DiagonalOperator):
+            diag_pos = k
+        elif isinstance(op, SiteOperatorSum):
+            flip_pos = k
+    if diag_pos is None or flip_pos is None:
+        return None
+    flip = ops[flip_pos]
+    mats = np.asarray(flip.site_mats)
+    if np.iscomplexobj(mats) and np.abs(mats.imag).max() > 0:
+        return None
+    mats = mats.real
+    L = flip.L
+    active = flip.active if flip.active else (True,) * L
+    gs_site = np.zeros(L, dtype=np.float32)
+    for i in range(L):
+        M = mats[i]
+        if not active[i]:
+            continue
+        if M[0, 0] != 0 or M[1, 1] != 0 or M[0, 1] != M[1, 0]:
+            return None
+        gs_site[i] = M[0, 1]
+    gs_bits = gs_site[::-1].copy()  # site i (MSB-first) = bit L-1-i
+    if L < _LANE_BITS + 3:
+        return None
+    diag = ops[diag_pos].diag
+    if jnp.iscomplexobj(diag):
+        if np.abs(np.asarray(diag.imag)).max() > 0:
+            return None
+        diag = diag.real
+    plan = make_flip_plan(L, gs_bits, tile_rows=tile_rows)
+    return plan, diag, diag_pos, flip_pos
+
+
+def _apply_h_tile(plan: FlipPlan, tr, lane_mat, dmb, w, scale):
     """In-tile ``(H − β)·t`` for one real plane: diag + lane flips +
-    row flips (+ cross term ``w`` precomputed outside)."""
-    u = tr * dmb + jnp.dot(tr, lane_mat, preferred_element_type=tr.dtype)
-    if w is not None:
-        u = u + w
+    row flips (+ cross term ``w`` precomputed outside, already scaled).
+
+    ``scale`` is the (possibly traced, time-dependent) coefficient of
+    the flip part — e.g. ``g(t)`` for a driven transverse field."""
+    flips = jnp.dot(tr, lane_mat, preferred_element_type=tr.dtype)
     if plan.n_row_bits:
         rows = jax.lax.broadcasted_iota(jnp.int32, tr.shape, 0)
         for j, gj in enumerate(plan.row_gs):
@@ -140,18 +200,27 @@ def _apply_h_tile(plan: FlipPlan, tr, lane_mat, dmb, w):
                 jnp.roll(tr, dist, axis=0),
                 jnp.roll(tr, -dist, axis=0),
             )
-            u = u + gj * flipped
+            flips = flips + gj * flipped
+    u = tr * dmb + scale * flips
+    if w is not None:
+        u = u + w
     return u
 
 
-def _iter_kernel(plan, s2, a_ref, v0r, v0i, v1r, v1i, wr, wi, dmb, phr, phi,
+def _iter_kernel(plan, s2, sc_ref, v0r, v0i, v1r, v1i, wr, wi, dmb, phr, phi,
                  lane, o_v2r, o_v2i, o_phr, o_phi):
-    """One fused Chebyshev iteration on one (R_t, 128) tile."""
-    a = a_ref[0, 0]
+    """One fused Chebyshev iteration on one (R_t, 128) tile.
+    ``sc_ref`` holds (a_k, flip_scale) in SMEM."""
+    a = sc_ref[0, 0]
+    scale = sc_ref[0, 1]
     lm = lane[:]
     d = dmb[:]
-    ur = _apply_h_tile(plan, v1r[:], lm, d, wr[:] if wr is not None else None)
-    ui = _apply_h_tile(plan, v1i[:], lm, d, wi[:] if wi is not None else None)
+    ur = _apply_h_tile(
+        plan, v1r[:], lm, d, wr[:] if wr is not None else None, scale
+    )
+    ui = _apply_h_tile(
+        plan, v1i[:], lm, d, wi[:] if wi is not None else None, scale
+    )
     v2r = -s2 * ui + v0r[:]
     v2i = s2 * ur + v0i[:]
     o_v2r[:] = v2r
@@ -160,13 +229,21 @@ def _iter_kernel(plan, s2, a_ref, v0r, v0i, v1r, v1i, wr, wi, dmb, phr, phi,
     o_phi[:] = phi[:] + a * v2i
 
 
-def _first_kernel(plan, s, a0, a1, v0r, v0i, wr, wi, dmb, lane,
+def _first_kernel(plan, s, sc_ref, v0r, v0i, wr, wi, dmb, lane,
                   o_v1r, o_v1i, o_phr, o_phi):
-    """Chebyshev setup: v₁ = c·(H−β)v₀, Φ = a₀v₀ + a₁v₁ on one tile."""
+    """Chebyshev setup: v₁ = c·(H−β)v₀, Φ = a₀v₀ + a₁v₁ on one tile.
+    ``sc_ref`` holds (a₀, a₁, flip_scale) in SMEM."""
+    a0 = sc_ref[0, 0]
+    a1 = sc_ref[0, 1]
+    scale = sc_ref[0, 2]
     lm = lane[:]
     d = dmb[:]
-    ur = _apply_h_tile(plan, v0r[:], lm, d, wr[:] if wr is not None else None)
-    ui = _apply_h_tile(plan, v0i[:], lm, d, wi[:] if wi is not None else None)
+    ur = _apply_h_tile(
+        plan, v0r[:], lm, d, wr[:] if wr is not None else None, scale
+    )
+    ui = _apply_h_tile(
+        plan, v0i[:], lm, d, wi[:] if wi is not None else None, scale
+    )
     v1r = -s * ui
     v1i = s * ur
     o_v1r[:] = v1r
@@ -189,12 +266,12 @@ def _tile_specs(plan, n_tiles):
     return vec, lane
 
 
-def _cross_term(plan: FlipPlan, cross, vr, vi):
-    """W = A_cross @ v over the top bits (XLA MXU pass)."""
+def _cross_term(plan: FlipPlan, cross, vr, vi, scale):
+    """W = scale · A_cross @ v over the top bits (XLA MXU pass)."""
     T = 1 << plan.n_cross
     n = vr.size
-    wr = (cross @ vr.reshape(T, n // T)).reshape(vr.shape)
-    wi = (cross @ vi.reshape(T, n // T)).reshape(vi.shape)
+    wr = scale * (cross @ vr.reshape(T, n // T)).reshape(vr.shape)
+    wi = scale * (cross @ vi.reshape(T, n // T)).reshape(vi.shape)
     return wr, wi
 
 
@@ -216,17 +293,21 @@ def cheby_step_fused(
     e_min,
     dt,
     *,
+    flip_scale=None,
     forward: bool = True,
     interpret: bool = False,
 ):
     """One Chebyshev step ``exp(-i H dt)`` with
-    ``H = diag + Σ g_j X_j`` on planar f32 state ``(re, im)``.
+    ``H = diag + flip_scale·Σ g_j X_j`` on planar f32 state ``(re, im)``.
 
     Mathematically identical to :func:`.cheby.cheby_apply` /
     :func:`.planar.cheby_apply_planar` (reference ``src/cheby.jl:150-213``);
     each polynomial order is a single fused Pallas pass plus one small
     cross-bit matmul.  ``delta``/``e_min``/``dt`` are static floats;
-    control amplitudes enter via ``coeffs``/``diag`` arrays.
+    control amplitudes enter via the traced ``coeffs``/``diag``/
+    ``flip_scale`` arguments (e.g. a time-dependent transverse field
+    ``g(t)·Σ Xᵢ`` passes ``flip_scale=g_n`` per interval with a plan
+    built at ``g=1``) — no retracing across control updates.
     """
     rdtype = re.dtype
     shape = re.shape
@@ -245,45 +326,34 @@ def cheby_step_fused(
         jnp.asarray(plan.cross_mat, dtype=rdtype) if has_cross else None
     )
     a = coeffs.astype(rdtype)
+    scale = jnp.asarray(
+        1.0 if flip_scale is None else flip_scale, dtype=rdtype
+    )
 
     vec, lane = _tile_specs(plan, n_tiles)
-    smem = (
-        pl.BlockSpec(
-            (1, 1),
-            lambda i: (0, 0),
-            memory_space=pltpu.SMEM if _HAS_PLTPU else None,
-        )
-        if _HAS_PLTPU
-        else pl.BlockSpec((1, 1), lambda i: (0, 0))
-    )
+
+    def _smem(width):
+        kw = {"memory_space": pltpu.SMEM} if _HAS_PLTPU else {}
+        return pl.BlockSpec((1, width), lambda i: (0, 0), **kw)
+
     out_shape = [jax.ShapeDtypeStruct((rows, _LANE), rdtype)] * 4
 
-    # coeffs may be traced: a₀/a₁ enter the first kernel via SMEM
-    smem2 = (
-        pl.BlockSpec(
-            (1, 2),
-            lambda i: (0, 0),
-            memory_space=pltpu.SMEM if _HAS_PLTPU else None,
-        )
-        if _HAS_PLTPU
-        else pl.BlockSpec((1, 2), lambda i: (0, 0))
-    )
-
     def run_first(v0r, v0i, wr, wi):
-        args = [jnp.stack([a[0], a[1]]).reshape(1, 2), v0r, v0i]
-        specs = [smem2, vec, vec]
+        # scalars (a₀, a₁, flip_scale) enter via SMEM (coeffs may be traced)
+        args = [jnp.stack([a[0], a[1], scale]).reshape(1, 3), v0r, v0i]
+        specs = [_smem(3), vec, vec]
         if has_cross:
             args += [wr, wi]
             specs += [vec, vec]
 
-        def kern(a01_ref, v0r_, v0i_, *rest):
+        def kern(sc_ref, v0r_, v0i_, *rest):
             if has_cross:
                 wr_, wi_, dmb_, lane_, o1, o2, o3, o4 = rest
             else:
                 dmb_, lane_, o1, o2, o3, o4 = rest
                 wr_ = wi_ = None
             _first_kernel(
-                plan, s, a01_ref[0, 0], a01_ref[0, 1],
+                plan, s, sc_ref,
                 v0r_, v0i_, wr_, wi_, dmb_, lane_, o1, o2, o3, o4,
             )
 
@@ -297,8 +367,8 @@ def cheby_step_fused(
         )(*args, dmb, lane_mat)
 
     def run_iter(a_k, v0r, v0i, v1r, v1i, wr, wi, phr, phi):
-        args = [a_k.reshape(1, 1), v0r, v0i, v1r, v1i]
-        specs = [smem, vec, vec, vec, vec]
+        args = [jnp.stack([a_k, scale]).reshape(1, 2), v0r, v0i, v1r, v1i]
+        specs = [_smem(2), vec, vec, vec, vec]
         if has_cross:
             args += [wr, wi]
             specs += [vec, vec]
@@ -332,7 +402,7 @@ def cheby_step_fused(
     v0r = _plane2d(re)
     v0i = _plane2d(im)
     if has_cross:
-        w0r, w0i = _cross_term(plan, cross, v0r, v0i)
+        w0r, w0i = _cross_term(plan, cross, v0r, v0i, scale)
     else:
         w0r = w0i = None
     v1r, v1i, phr, phi = run_first(v0r, v0i, w0r, w0i)
@@ -340,7 +410,7 @@ def cheby_step_fused(
     def body(carry, a_k):
         v0r, v0i, v1r, v1i, phr, phi = carry
         if has_cross:
-            wr, wi = _cross_term(plan, cross, v1r, v1i)
+            wr, wi = _cross_term(plan, cross, v1r, v1i, scale)
         else:
             wr = wi = None
         v2r, v2i, phr, phi = run_iter(

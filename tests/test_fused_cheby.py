@@ -115,3 +115,63 @@ def test_fused_backward_roundtrip(tfim):
     )
     rt = np.asarray(re) + 1j * np.asarray(im)
     assert np.linalg.norm(rt - psi) < 1e-5
+
+
+class TestFusedPropagateDriver:
+    """kernel='pallas' path of :func:`cheby_propagate_fused` (interpret
+    mode on CPU) vs the generic xla path."""
+
+    @pytest.fixture()
+    def driven_tfim(self):
+        from quantumpropagators.models.lattice import transverse_field_ising
+
+        H_diag, H_x = transverse_field_ising(
+            L, J=J, g=1.0, h=h, dtype=jnp.float32
+        )
+        gen = qp.hamiltonian(
+            H_diag, (H_x, lambda t: 0.8 + 0.4 * np.sin(t)), check=False
+        )
+        tlist = np.linspace(0, 1.0, 11)
+        rng = np.random.default_rng(11)
+        psi = rng.standard_normal(2 ** L) + 1j * rng.standard_normal(2 ** L)
+        psi /= np.linalg.norm(psi)
+        return gen, tlist, jnp.asarray(psi, dtype=jnp.complex64)
+
+    def test_pallas_matches_xla(self, driven_tfim):
+        from quantumpropagators.fused import cheby_propagate_fused
+
+        gen, tlist, psi0 = driven_tfim
+        ref, _ = cheby_propagate_fused(psi0, gen, tlist, kernel="xla")
+        out, _ = cheby_propagate_fused(psi0, gen, tlist, kernel="pallas")
+        assert out.dtype == psi0.dtype
+        assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 1e-5
+
+    def test_pallas_observables_and_trajectory(self, driven_tfim):
+        from quantumpropagators.fused import cheby_propagate_fused
+
+        gen, tlist, psi0 = driven_tfim
+        _, nrm = cheby_propagate_fused(
+            psi0, gen, tlist, kernel="pallas",
+            observable_fn=lambda p: jnp.vdot(p, p).real,
+        )
+        assert nrm.shape == (len(tlist) - 1,)
+        np.testing.assert_allclose(np.asarray(nrm), 1.0, atol=1e-5)
+        _, traj = cheby_propagate_fused(
+            psi0, gen, tlist, kernel="pallas", store_states=True
+        )
+        assert traj.shape == (len(tlist) - 1, 2 ** L)
+
+    def test_pallas_requires_structure(self):
+        from quantumpropagators.fused import cheby_propagate_fused
+        from quantumpropagators.utils.fixtures import (
+            random_matrix,
+            random_state_vector,
+        )
+
+        rng = np.random.default_rng(5)
+        H0 = jnp.asarray(random_matrix(16, hermitian=True, rng=rng))
+        gen = qp.hamiltonian(H0, check=False)
+        tlist = np.linspace(0, 1, 5)
+        psi0 = jnp.asarray(random_state_vector(16, rng=rng))
+        with pytest.raises(ValueError, match="site-flip"):
+            cheby_propagate_fused(psi0, gen, tlist, kernel="pallas")
