@@ -281,7 +281,9 @@ def _plane2d(x):
 
 @partial(
     jax.jit,
-    static_argnames=("plan", "dt", "delta", "e_min", "forward", "interpret"),
+    static_argnames=(
+        "plan", "dt", "delta", "e_min", "forward", "interpret", "extra_w_fn",
+    ),
 )
 def cheby_step_fused(
     plan: FlipPlan,
@@ -296,6 +298,7 @@ def cheby_step_fused(
     flip_scale=None,
     forward: bool = True,
     interpret: bool = False,
+    extra_w_fn=None,
 ):
     """One Chebyshev step ``exp(-i H dt)`` with
     ``H = diag + flip_scale·Σ g_j X_j`` on planar f32 state ``(re, im)``.
@@ -308,6 +311,11 @@ def cheby_step_fused(
     ``flip_scale`` arguments (e.g. a time-dependent transverse field
     ``g(t)·Σ Xᵢ`` passes ``flip_scale=g_n`` per interval with a plan
     built at ``g=1``) — no retracing across control updates.
+
+    ``extra_w_fn(vr, vi) -> (wr, wi)`` (static) injects an additional
+    per-iteration contribution to ``H·v`` computed outside the kernel —
+    the hook the sharded variant uses for device-bit flips via
+    ``ppermute`` (see :mod:`..parallel.sharded_fused`).
     """
     rdtype = re.dtype
     shape = re.shape
@@ -322,6 +330,7 @@ def cheby_step_fused(
     lane_mat = jnp.asarray(plan.lane_mat, dtype=rdtype)
     dmb = _plane2d(diag.astype(rdtype) - rdtype.type(beta))
     has_cross = plan.n_cross > 0
+    has_w = has_cross or extra_w_fn is not None
     cross = (
         jnp.asarray(plan.cross_mat, dtype=rdtype) if has_cross else None
     )
@@ -342,12 +351,12 @@ def cheby_step_fused(
         # scalars (a₀, a₁, flip_scale) enter via SMEM (coeffs may be traced)
         args = [jnp.stack([a[0], a[1], scale]).reshape(1, 3), v0r, v0i]
         specs = [_smem(3), vec, vec]
-        if has_cross:
+        if has_w:
             args += [wr, wi]
             specs += [vec, vec]
 
         def kern(sc_ref, v0r_, v0i_, *rest):
-            if has_cross:
+            if has_w:
                 wr_, wi_, dmb_, lane_, o1, o2, o3, o4 = rest
             else:
                 dmb_, lane_, o1, o2, o3, o4 = rest
@@ -369,14 +378,14 @@ def cheby_step_fused(
     def run_iter(a_k, v0r, v0i, v1r, v1i, wr, wi, phr, phi):
         args = [jnp.stack([a_k, scale]).reshape(1, 2), v0r, v0i, v1r, v1i]
         specs = [_smem(2), vec, vec, vec, vec]
-        if has_cross:
+        if has_w:
             args += [wr, wi]
             specs += [vec, vec]
         args += [dmb, phr, phi, lane_mat]
         specs += [vec, vec, vec, lane]
 
         def kern(a_ref, v0r_, v0i_, v1r_, v1i_, *rest):
-            if has_cross:
+            if has_w:
                 wr_, wi_, dmb_, phr_, phi_, lane_, o1, o2, o3, o4 = rest
             else:
                 dmb_, phr_, phi_, lane_, o1, o2, o3, o4 = rest
@@ -387,7 +396,7 @@ def cheby_step_fused(
             )
 
         # v0 buffers become v2, Φ accumulates in place
-        n_w = 2 if has_cross else 0
+        n_w = 2 if has_w else 0
         aliases = {1: 0, 2: 1, 5 + n_w + 1: 2, 5 + n_w + 2: 3}
         return pl.pallas_call(
             kern,
@@ -399,20 +408,26 @@ def cheby_step_fused(
             interpret=interpret,
         )(*args)
 
+    def make_w(vr, vi):
+        wr = wi = None
+        if has_cross:
+            wr, wi = _cross_term(plan, cross, vr, vi, scale)
+        if extra_w_fn is not None:
+            er, ei = extra_w_fn(vr.reshape(shape), vi.reshape(shape))
+            er = _plane2d(er.astype(rdtype))
+            ei = _plane2d(ei.astype(rdtype))
+            wr = er if wr is None else wr + er
+            wi = ei if wi is None else wi + ei
+        return wr, wi
+
     v0r = _plane2d(re)
     v0i = _plane2d(im)
-    if has_cross:
-        w0r, w0i = _cross_term(plan, cross, v0r, v0i, scale)
-    else:
-        w0r = w0i = None
+    w0r, w0i = make_w(v0r, v0i)
     v1r, v1i, phr, phi = run_first(v0r, v0i, w0r, w0i)
 
     def body(carry, a_k):
         v0r, v0i, v1r, v1i, phr, phi = carry
-        if has_cross:
-            wr, wi = _cross_term(plan, cross, v1r, v1i, scale)
-        else:
-            wr = wi = None
+        wr, wi = make_w(v1r, v1i)
         v2r, v2i, phr, phi = run_iter(
             a_k, v0r, v0i, v1r, v1i, wr, wi, phr, phi
         )
