@@ -66,7 +66,7 @@ _LANE_BITS = 7
 def _flip_adjacency(bits: np.ndarray, gs: np.ndarray) -> np.ndarray:
     """Σⱼ gⱼ·(flip of local bit j) adjacency over ``len(bits)`` bits."""
     n = 1 << len(bits)
-    A = np.zeros((n, n), dtype=np.float32)
+    A = np.zeros((n, n), dtype=np.float64)
     for j, g in enumerate(gs):
         idx = np.arange(n)
         A[idx ^ (1 << j), idx] += g
@@ -113,7 +113,7 @@ def make_flip_plan(L: int, g, tile_rows: int = 512) -> FlipPlan:
     """
     if L < _LANE_BITS + 3:
         raise ValueError(f"fused kernel needs L >= {_LANE_BITS + 3}, got {L}")
-    gs = np.broadcast_to(np.asarray(g, dtype=np.float32), (L,))
+    gs = np.broadcast_to(np.asarray(g, dtype=np.float64), (L,))
     rows = 1 << (L - _LANE_BITS)
     tile_rows = min(tile_rows, rows)
     n_row_bits = int(np.log2(tile_rows))
@@ -163,7 +163,7 @@ def flip_structure(ops, tile_rows: int = 512):
     mats = mats.real
     L = flip.L
     active = flip.active if flip.active else (True,) * L
-    gs_site = np.zeros(L, dtype=np.float32)
+    gs_site = np.zeros(L, dtype=np.float64)
     for i in range(L):
         M = mats[i]
         if not active[i]:
@@ -414,8 +414,8 @@ def cheby_step_fused(
             wr, wi = _cross_term(plan, cross, vr, vi, scale)
         if extra_w_fn is not None:
             er, ei = extra_w_fn(vr.reshape(shape), vi.reshape(shape))
-            er = _plane2d(er.astype(rdtype))
-            ei = _plane2d(ei.astype(rdtype))
+            er = scale * _plane2d(er.astype(rdtype))
+            ei = scale * _plane2d(ei.astype(rdtype))
             wr = er if wr is None else wr + er
             wi = ei if wi is None else wi + ei
         return wr, wi
