@@ -346,6 +346,12 @@ def cheby_step_fused(
         return pl.BlockSpec((1, width), lambda i: (0, 0), **kw)
 
     out_shape = [jax.ShapeDtypeStruct((rows, _LANE), rdtype)] * 4
+    # tiles are independent → let Mosaic pipeline the grid freely
+    cparams = (
+        pltpu.CompilerParams(dimension_semantics=("parallel",))
+        if _HAS_PLTPU and not interpret
+        else None
+    )
 
     def run_first(v0r, v0i, wr, wi):
         # scalars (a₀, a₁, flip_scale) enter via SMEM (coeffs may be traced)
@@ -366,6 +372,7 @@ def cheby_step_fused(
                 v0r_, v0i_, wr_, wi_, dmb_, lane_, o1, o2, o3, o4,
             )
 
+        kwargs = {"compiler_params": cparams} if cparams else {}
         return pl.pallas_call(
             kern,
             grid=(n_tiles,),
@@ -373,6 +380,7 @@ def cheby_step_fused(
             out_specs=[vec] * 4,
             out_shape=out_shape,
             interpret=interpret,
+            **kwargs,
         )(*args, dmb, lane_mat)
 
     def run_iter(a_k, v0r, v0i, v1r, v1i, wr, wi, phr, phi):
@@ -398,6 +406,7 @@ def cheby_step_fused(
         # v0 buffers become v2, Φ accumulates in place
         n_w = 2 if has_w else 0
         aliases = {1: 0, 2: 1, 5 + n_w + 1: 2, 5 + n_w + 2: 3}
+        kwargs = {"compiler_params": cparams} if cparams else {}
         return pl.pallas_call(
             kern,
             grid=(n_tiles,),
@@ -406,6 +415,7 @@ def cheby_step_fused(
             out_shape=out_shape,
             input_output_aliases=aliases,
             interpret=interpret,
+            **kwargs,
         )(*args)
 
     def make_w(vr, vi):
