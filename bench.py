@@ -74,11 +74,13 @@ def main():
                     help="matricization group size in bits (0 = auto)")
     ap.add_argument("--lattice2d", type=str, default=None,
                     help="LxxLy 2D lattice instead of a chain, e.g. 4x6")
-    ap.add_argument("--kernel", choices=("fused", "planar", "complex"),
+    ap.add_argument("--kernel", choices=("fused", "planar", "complex", "dd"),
                     default="fused",
                     help="fused = single-pass Pallas Chebyshev iteration "
                          "(ops/fused_cheby.py); planar = (re,im)-f32 XLA "
-                         "path; complex = complex64 XLA path")
+                         "path; complex = complex64 XLA path; dd = df64 "
+                         "double-float Pallas kernel (~1e-13/step, "
+                         "reference accuracy)")
     ap.add_argument("--complex", dest="kernel", action="store_const",
                     const="complex")
     ap.add_argument("--planar", dest="kernel", action="store_const",
@@ -153,9 +155,54 @@ def main():
             f"fused plan: tile_rows={plan.tile_rows} "
             f"row_bits={plan.n_row_bits} cross_bits={plan.n_cross}"
         )
+    elif args.kernel == "dd":
+        from quantumpropagators.models.lattice import (
+            chain_bonds,
+            ising_diagonal_np,
+            lattice2d_bonds,
+        )
+        from quantumpropagators.ops.fused_cheby_dd import cheby_step_fused_dd
+
+        tile_rows_dd = min(args.tile_rows, 256)
+        plan = make_flip_plan(L, g, tile_rows=tile_rows_dd)
+        log(
+            f"df64 fused plan: tile_rows={plan.tile_rows} "
+            f"cross_bits={plan.n_cross}"
+        )
+        bonds = (
+            lattice2d_bonds(Lx, Ly) if args.lattice2d else chain_bonds(L)
+        )
+        diag64 = ising_diagonal_np(L, bonds, J, h)
+        beta = delta / 2.0 + e_min
+
+        def dd_split(x64):
+            hi = x64.astype(np.float32)
+            return (
+                jnp.asarray(hi),
+                jnp.asarray((x64 - hi.astype(np.float64)).astype(np.float32)),
+            )
+
+        dmb_h, dmb_l = dd_split(diag64 - beta)
+        cdd_h, cdd_l = dd_split(np.asarray(cheby_coeffs(delta, args.dt)))
 
     @partial(jax.jit, static_argnames=("n_steps",))
     def run(op, re, im, coeffs, n_steps):
+        if args.kernel == "dd":
+            state = (re, jnp.zeros_like(re), im, jnp.zeros_like(im))
+
+            def body(s, _):
+                return (
+                    cheby_step_fused_dd(
+                        plan, dmb_h, dmb_l, s, cdd_h, cdd_l,
+                        delta, e_min, args.dt,
+                    ),
+                    None,
+                )
+
+            state, _ = jax.lax.scan(body, state, None, length=n_steps)
+            rh, rl, ih, il = state
+            return jnp.sqrt(jnp.sum((rh + rl) ** 2 + (ih + il) ** 2))
+
         if args.kernel == "fused":
             def body(carry, _):
                 r, i = carry
@@ -240,6 +287,7 @@ def main():
                 "fused": "fused_pallas",
                 "planar": "planar_f32",
                 "complex": "complex64",
+                "dd": "fused_pallas_df64",
             }[args.kernel],
             "platform": dev.platform,
             "state_norm_after": round(nrm, 9),

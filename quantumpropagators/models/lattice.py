@@ -306,6 +306,54 @@ def zz_bonds_diagonal(L: int, bonds, J=1.0, *, dtype=jnp.float32):
     return diag
 
 
+def ising_diagonal_np(L: int, bonds, J=1.0, h=0.0) -> np.ndarray:
+    """Host-side float64 diagonal ``Σ_b J_b σᶻᵢσᶻⱼ + Σᵢ hᵢ σᶻᵢ``.
+
+    The df64 kernels (:mod:`...ops.fused_cheby_dd`, :mod:`...ops.df64`)
+    need the diagonal at full f64 precision *before* the hi/lo split;
+    building it through jax on an f32-only backend would quantize it.
+    Site ``i`` is the MSB-first position, matching the jnp builders.
+    """
+    J = np.broadcast_to(np.asarray(J, dtype=np.float64), (len(bonds),))
+    h = np.broadcast_to(np.asarray(h, dtype=np.float64), (L,))
+    idx = np.arange(2 ** L)
+    diag = np.zeros(2 ** L, dtype=np.float64)
+    spin = lambda i: 1.0 - 2.0 * ((idx >> (L - 1 - i)) & 1)
+    for (i, j), Jb in zip(bonds, J):
+        diag += Jb * spin(i) * spin(j)
+    for i in range(L):
+        if h[i] != 0.0:
+            diag += h[i] * spin(i)
+    return diag
+
+
+def chain_bonds(L: int, periodic: bool = False):
+    """Nearest-neighbor bond list of a 1D chain."""
+    bonds = [(i, i + 1) for i in range(L - 1)]
+    if periodic and L > 2:
+        bonds.append((L - 1, 0))
+    return bonds
+
+
+def lattice2d_bonds(Lx: int, Ly: int, periodic: bool = False):
+    """Nearest-neighbor bond list of an ``Lx × Ly`` lattice (site
+    ``(x, y)`` at chain position ``x·Ly + y``, as in
+    :func:`transverse_field_ising_2d`)."""
+    bonds = []
+    for x in range(Lx):
+        for y in range(Ly):
+            s = x * Ly + y
+            if x + 1 < Lx:
+                bonds.append((s, (x + 1) * Ly + y))
+            elif periodic and Lx > 2:
+                bonds.append((s, y))
+            if y + 1 < Ly:
+                bonds.append((s, x * Ly + y + 1))
+            elif periodic and Ly > 2:
+                bonds.append((s, x * Ly))
+    return bonds
+
+
 def transverse_field_ising_2d(
     Lx: int,
     Ly: int,
@@ -327,18 +375,7 @@ def transverse_field_ising_2d(
     sharded machinery as the 1D chain.
     """
     L = Lx * Ly
-    bonds = []
-    for x in range(Lx):
-        for y in range(Ly):
-            s = x * Ly + y
-            if x + 1 < Lx:
-                bonds.append((s, (x + 1) * Ly + y))
-            elif periodic and Lx > 2:
-                bonds.append((s, y))
-            if y + 1 < Ly:
-                bonds.append((s, x * Ly + y + 1))
-            elif periodic and Ly > 2:
-                bonds.append((s, x * Ly))
+    bonds = lattice2d_bonds(Lx, Ly, periodic=periodic)
     rdtype = jnp.finfo(dtype).dtype if dtype in (
         jnp.complex64,
         jnp.complex128,
