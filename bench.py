@@ -161,10 +161,13 @@ def main():
             ising_diagonal_np,
             lattice2d_bonds,
         )
-        from quantumpropagators.ops.fused_cheby_dd import cheby_step_fused_dd
+        from quantumpropagators.ops.fused_cheby_dd import (
+            cheby_step_fused_dd,
+            dd_tile_rows,
+        )
 
-        tile_rows_dd = min(args.tile_rows, 256)
-        plan = make_flip_plan(L, g, tile_rows=tile_rows_dd)
+        tr_dd = args.tile_rows if args.tile_rows != 512 else dd_tile_rows(L)
+        plan = make_flip_plan(L, g, tile_rows=tr_dd)
         log(
             f"df64 fused plan: tile_rows={plan.tile_rows} "
             f"cross_bits={plan.n_cross}"

@@ -1,27 +1,41 @@
 """Double-float (df64) fused Pallas Chebyshev kernel: reference-grade
-~1e-13 accuracy per step at near-f32 bandwidth on f32-only TPUs.
+~1e-13 accuracy per step at a large fraction of f32 bandwidth on
+f32-only TPUs.
 
 The reference is complex128 end-to-end with 1e-10 kernel tolerances
-(``/root/reference/test/test_cheby.jl:8``).  The df64 XLA path
-(:mod:`.df64`) reaches that accuracy but pays one full HBM pass per
-bit-flip per dd-operation — measured 0.55 Gnnz/s at 2^20.  This module
-runs the same double-float arithmetic *inside* Pallas kernels, so all
-in-tile flip accumulation and the whole recurrence update happen in
-VMEM:
+(``/root/reference/test/test_cheby.jl:8``).  This module runs the
+double-float arithmetic *inside* Pallas kernels so the whole polynomial
+iteration is VMEM-resident.  Design (v2, round 2):
 
-- **main kernel** — one pass per polynomial order: dd diagonal product,
-  compensated accumulation of all in-tile bit-flips (lane rolls +
-  sublane rolls; flips are exact data movement), recurrence
-  ``v₂ = c·(Hv₁ − βv₁) + v₀`` and ``Φ += a_k v₂`` in dd.
-- **cross kernel** — the top-bit flip sum ``W = Σ g_j·v₁[idx^2^j]``
-  with neighbor tiles addressed through the BlockSpec ``index_map``
-  (grid-index XOR), compensated-summed in VMEM.
+- **component-split kernels**: one kernel per output component
+  (re / im).  Because the Chebyshev scalar is purely imaginary the
+  recurrence couples components only through a plane swap
+  (``v2_re = -(H'v1)_im + v0_re``), so each kernel reads the *other*
+  component of v1 and its own component of v0/Φ.  Halving the planes
+  per kernel halves VMEM pressure → larger tiles → fewer cross-tile
+  bits.
+- **cross-tile flips fused** into the main kernel as extra inputs whose
+  BlockSpec ``index_map`` is a grid-index XOR (tile ``i`` reads tile
+  ``i ^ 2^j``) — no separate cross kernel, no W round-trip through HBM.
+- **scale folding**: the recurrence scalar ``s2 = ∓4/Δ`` is folded into
+  the operator once per step (``H' = s2·(H−β)``: the diagonal planes by
+  one XLA df64 pass, the flip coefficients exactly in host f64), which
+  removes two dd-scalings per element per iteration.
+- **reduced-flop dd arithmetic**: products keep unnormalized ``(p, e)``
+  pairs feeding two_sum accumulators (Ogita-Rump-Oishi style); static
+  scalars are Veltkamp-pre-split (host / SMEM scalar unit) so each
+  error-free product costs 13 VPU flops instead of 17; Φ stays
+  unnormalized across iterations (its compensation stays ≤ ~2⁻²⁴·Σ|aₖ|,
+  so the deferred renormalization — one XLA pass before the final
+  phase — is safe) while the recurrence value v2 is renormalized every
+  iteration (its compensation feeds back through the recurrence and
+  would otherwise grow linearly).
 
 Error-free transformations (Dekker/Knuth two-sum/split/two-product) are
-used WITHOUT the optimization barriers the XLA path needs
-(``df64._b``): Mosaic does not run XLA's algebraic simplifier, and the
-transforms were verified bit-exact in compiled kernels on the TPU
-(two_sum/two_prod residual 0.0 vs f64).
+used WITHOUT optimization barriers in compiled Mosaic kernels (Mosaic
+performs no algebraic simplification; verified bit-exact on-chip), and
+WITH barriers in interpret mode (which lowers through XLA, whose
+simplifier would cancel the error terms).
 
 State layout: a df64 complex vector is four f32 planes
 ``(re_hi, re_lo, im_hi, im_lo)``, each viewed ``(ROWS, 128)``.
@@ -46,78 +60,89 @@ except Exception:  # pragma: no cover
 
 from .fused_cheby import FlipPlan, make_flip_plan, _LANE, _LANE_BITS
 
-__all__ = ["cheby_step_fused_dd", "make_flip_plan"]
+__all__ = ["cheby_step_fused_dd", "make_flip_plan", "dd_tile_rows"]
 
 _SPLIT = np.float32(4097.0)  # 2^12 + 1 for f32 Dekker split
 
 # Error-free transformations need protection from compiler rewrites.
 # Mosaic (compiled TPU kernels) performs none — barriers are both
-# unnecessary and UNSUPPORTED there (optimization_barrier has no TPU
-# Pallas lowering).  Interpret mode runs the kernel body through XLA,
-# whose algebraic simplifier cancels the error terms — there the
-# barriers of the .df64 module are required.  The flag is set at trace
-# time by :func:`cheby_step_fused_dd` (interpret is a static arg, so
+# unnecessary and UNSUPPORTED there.  Interpret mode runs the kernel
+# body through XLA CPU, which contracts mul+add into FMA even THROUGH
+# ``lax.optimization_barrier`` (measured on jax 0.9.0: the barriered
+# product still fuses into the consuming add, breaking two_sum's
+# exactness under cancellation).  The only reliable barrier there is a
+# host round-trip (``pure_callback``) — slow, but interpret mode is a
+# test-only path.  Set at trace time (interpret is a static arg, so
 # each variant gets its own trace).
 _USE_BARRIER = [False]
 
 
+def _strong_b(x):
+    """Host round-trip identity: no compiler can contract through it."""
+    return jax.pure_callback(
+        lambda v: v,
+        jax.ShapeDtypeStruct(x.shape, x.dtype),
+        x,
+        vmap_method="sequential",
+    )
+
+
 def _b(x):
     if _USE_BARRIER[0]:
-        return jax.lax.optimization_barrier(x)
+        return _strong_b(x)
     return x
 
 
 def _two_sum(a, b):
+    """Error-free: a + b = s + err exactly (6 flops)."""
     s = _b(a + b)
     bb = _b(s - a)
     return s, _b(a - _b(s - bb)) + _b(b - bb)
 
 
 def _split(a):
+    """Dekker split: a = hi + lo, 12-bit mantissas (4 flops)."""
     t = _b(_SPLIT * a)
     hi = _b(t - _b(t - a))
     return hi, _b(a - hi)
 
 
-def _two_prod(a, b):
-    p = _b(a * b)
-    a_hi, a_lo = _split(a)
-    b_hi, b_lo = _split(b)
-    err = _b(
-        _b(_b(_b(a_hi * b_hi) - p) + _b(a_hi * b_lo) + _b(a_lo * b_hi))
-        + _b(a_lo * b_lo)
-    )
-    return p, err
-
-
-def _dd_add(xh, xl, yh, yl):
-    s, e = _two_sum(xh, yh)
-    e = e + xl + yl
-    return _two_sum(s, e)
-
-
-def _dd_mul(xh, xl, yh, yl):
-    p, e = _two_prod(xh, yh)
-    e = e + xh * yl + xl * yh
-    return _two_sum(p, e)
-
-
-def _dd_scale(xh, xl, sh, sl):
-    """x · s with s a dd scalar (trace-time constants or SMEM values)."""
-    return _dd_mul(xh, xl, sh, sl)
-
-
 def _split_f64(v: float):
+    """Host split of a float64 into an f32 (hi, lo) pair."""
     hi = np.float32(v)
     return hi, np.float32(np.float64(v) - np.float64(hi))
 
 
-# ---- in-kernel flip accumulation ------------------------------------
+def _veltkamp_f64(v: float):
+    """Host split of the f32-hi part of ``v`` into two 12-bit halves
+    plus the f64 residual: v = h1 + h2 + lo with h1·x, h2·x exact-ish
+    products (Dekker)."""
+    hi, lo = _split_f64(v)
+    t = np.float32(_SPLIT * hi)
+    h1 = np.float32(t - np.float32(t - hi))
+    h2 = np.float32(hi - h1)
+    return h1, h2, lo
+
+
+def _prod_presplit(x, b1, b2, bh, bl, xl=None):
+    """Unnormalized error-free product ``(x + xl)·(bh + bl)`` → (p, e)
+    where bh = b1 + b2 is pre-split (b1/b2 scalars or planes).
+
+    p = fl(x·bh); e captures the rounding error plus the lo cross
+    terms.  13 VPU flops (+2 if xl given)."""
+    p = _b(x * bh)
+    h1, h2 = _split(x)
+    e = _b(
+        _b(_b(_b(h1 * b1) - p) + _b(h1 * b2) + _b(h2 * b1)) + _b(h2 * b2)
+    ) + _b(x * bl)
+    if xl is not None:
+        e = e + _b(xl * bh)
+    return p, e
 
 
 def _roll_flip(t, dist, axis, idx):
     """Exact permutation ``t[i] -> t[i ^ dist]`` along ``axis`` via two
-    rolls and a parity select (``idx`` = broadcasted index array)."""
+    rolls and a parity select."""
     bit_set = (idx & dist) != 0
     return jnp.where(
         bit_set,
@@ -126,165 +151,151 @@ def _roll_flip(t, dist, axis, idx):
     )
 
 
-def _accum_flips_dd(plan: FlipPlan, th, tl, uniform_g):
-    """Compensated-dd sum of all in-tile bit flips of a dd plane
-    ``(th, tl)``.
-
-    With a uniform flip coefficient the (exact) flips are summed first
-    and scaled once; per-site coefficients scale each flip in dd.
-    Returns the dd pair ``(Σ g_j flip_j)``."""
+def _flip_terms(plan: FlipPlan, th, tl):
+    """Yield ``(g_bit_index, f_hi, f_lo)`` for every in-tile bit flip of
+    the dd plane ``(th, tl)`` — exact data movement."""
     rows_idx = jax.lax.broadcasted_iota(jnp.int32, th.shape, 0)
     lane_idx = jax.lax.broadcasted_iota(jnp.int32, th.shape, 1)
+    for j in range(_LANE_BITS):
+        d = 1 << j
+        yield j, _roll_flip(th, d, 1, lane_idx), _roll_flip(tl, d, 1, lane_idx)
+    for j in range(plan.n_row_bits):
+        d = 1 << j
+        yield (
+            _LANE_BITS + j,
+            _roll_flip(th, d, 0, rows_idx),
+            _roll_flip(tl, d, 0, rows_idx),
+        )
 
-    def flips():
-        for j in range(_LANE_BITS):
-            yield (
-                plan.gs[j],
-                _roll_flip(th, 1 << j, 1, lane_idx),
-                _roll_flip(tl, 1 << j, 1, lane_idx),
-            )
-        for j in range(plan.n_row_bits):
-            yield (
-                plan.gs[_LANE_BITS + j],
-                _roll_flip(th, 1 << j, 0, rows_idx),
-                _roll_flip(tl, 1 << j, 0, rows_idx),
-            )
 
-    if uniform_g:
-        # Σ flips (compensated), then one dd scale by g
-        s = e = None
-        for _, fh, fl in flips():
-            if s is None:
-                s, e = fh, fl
+def _h_component(plan, gsplits, uniform, vh, vl, nb, dh, dl):
+    """Unnormalized ``H'·v`` for ONE component of v: (p, e) with
+    H' = dmb' + Σ_j G_j·flip_j, dmb' = (dh, dl) planes, G_j the
+    pre-split (folded) flip scalars, ``nb`` the (hi, lo) neighbor-tile
+    pairs for the cross bits."""
+    # diagonal product (dd planes; split of dh in-kernel, shared-free)
+    p = _b(vh * dh)
+    x1, x2 = _split(vh)
+    d1, d2 = _split(dh)
+    e = _b(
+        _b(_b(_b(x1 * d1) - p) + _b(x1 * d2) + _b(x2 * d1)) + _b(x2 * d2)
+    ) + _b(vh * dl) + _b(vl * dh)
+
+    if uniform:
+        # raw compensated flip sum, then ONE pre-split scale
+        Fh = Fc = None
+        for _, fh, fl_ in _flip_terms(plan, vh, vl):
+            if Fh is None:
+                Fh, Fc = fh, fl_
             else:
-                s, err = _two_sum(s, fh)
-                e = e + err + fl
-        gh, gl = _split_f64(plan.gs[0])
-        return _dd_scale(s, e, gh, gl)
-    s = e = None
-    for gj, fh, fl in flips():
-        gh, gl = _split_f64(gj)
-        ph, pl_ = _dd_scale(fh, fl, gh, gl)
-        if s is None:
-            s, e = ph, pl_
-        else:
-            s, err = _two_sum(s, ph)
-            e = e + err + pl_
-    return _two_sum(s, e)
+                Fh, err = _two_sum(Fh, fh)
+                Fc = Fc + err + fl_
+        for nh, nl in nb:
+            if Fh is None:
+                Fh, Fc = nh, nl
+            else:
+                Fh, err = _two_sum(Fh, nh)
+                Fc = Fc + err + nl
+        if Fh is not None:
+            g1, g2, gl = gsplits[0]
+            gh = np.float32(g1 + g2)
+            q, qe = _prod_presplit(Fh, g1, g2, gh, gl, xl=Fc)
+            p, err = _two_sum(p, q)
+            e = e + err + qe
+    else:
+        # per-bit pre-split scaling; in-tile bit index == gs index,
+        # cross bit j uses gs[L - n_cross + j]
+        for idx, fh, fl_ in _flip_terms(plan, vh, vl):
+            g1, g2, gl = gsplits[idx]
+            gh = np.float32(g1 + g2)
+            q, qe = _prod_presplit(fh, g1, g2, gh, gl, xl=fl_)
+            p, err = _two_sum(p, q)
+            e = e + err + qe
+        for j, (nh, nl) in enumerate(nb):
+            g1, g2, gl = gsplits[plan.L - plan.n_cross + j]
+            gh = np.float32(g1 + g2)
+            q, qe = _prod_presplit(nh, g1, g2, gh, gl, xl=nl)
+            p, err = _two_sum(p, q)
+            e = e + err + qe
+    return p, e
 
 
-def _h_tile_dd(plan, uniform_g, trh, trl, tih, til, dmb_h, dmb_l, w):
-    """dd ``(H − β)·t`` for a complex tile: diag product + in-tile flip
-    sums (+ precomputed cross term ``w``)."""
-    urh, url = _dd_mul(trh, trl, dmb_h, dmb_l)
-    uih, uil = _dd_mul(tih, til, dmb_h, dmb_l)
-    frh, frl = _accum_flips_dd(plan, trh, trl, uniform_g)
-    fih, fil = _accum_flips_dd(plan, tih, til, uniform_g)
-    urh, url = _dd_add(urh, url, frh, frl)
-    uih, uil = _dd_add(uih, uil, fih, fil)
-    if w is not None:
-        wrh, wrl, wih, wil = w
-        urh, url = _dd_add(urh, url, wrh, wrl)
-        uih, uil = _dd_add(uih, uil, wih, wil)
-    return urh, url, uih, uil
+def _iter_component_kernel(plan, gsplits, uniform, n_cross, sign,
+                           a_ref, *refs):
+    """One fused dd Chebyshev iteration, ONE output component X:
+    ``v2_X = sign·(H'v1)_Y + v0_X``;  ``Φ_X += a_k·v2_X``.
 
-
-# ---- kernels --------------------------------------------------------
-
-
-def _iter_kernel_dd(plan, uniform_g, s2h, s2l, a_ref, *refs):
-    """One fused dd Chebyshev iteration on one tile.  ``a_ref`` holds
-    ``(a_hi, a_lo)`` in SMEM; refs are (v0[4], v1[4], [w[4]], dmb[2],
-    phi[4]) inputs then (v2[4], phi[4]) outputs."""
-    n = len(refs)
-    has_w = n == 26  # v0(4)+v1(4)+w(4)+dmb(2)+phi(4)+outs(8)
+    refs: v1y(2), nb(2·n_cross), dmb(2), v0x(2), phix(2) inputs, then
+    outputs v2x(2), phix(2).  ``a_ref`` holds (a_hi, a_lo) in SMEM."""
     k = 0
-    v0 = [r[:] for r in refs[k:k + 4]]; k += 4
-    v1 = [r[:] for r in refs[k:k + 4]]; k += 4
-    w = None
-    if has_w:
-        w = tuple(r[:] for r in refs[k:k + 4]); k += 4
-    dmb_h = refs[k][:]; dmb_l = refs[k + 1][:]; k += 2
-    ph = [r[:] for r in refs[k:k + 4]]; k += 4
-    outs = refs[k:]
+    vh, vl = refs[k][:], refs[k + 1][:]; k += 2
+    nb = []
+    for _ in range(n_cross):
+        nb.append((refs[k][:], refs[k + 1][:])); k += 2
+    dh, dl = refs[k][:], refs[k + 1][:]; k += 2
+    v0h, v0l = refs[k][:], refs[k + 1][:]; k += 2
+    phh, phl = refs[k][:], refs[k + 1][:]; k += 2
+    o_v2h, o_v2l, o_phh, o_phl = refs[k:]
 
-    urh, url, uih, uil = _h_tile_dd(
-        plan, uniform_g, v1[0], v1[1], v1[2], v1[3], dmb_h, dmb_l, w
-    )
-    # v2 = s2·i·u + v0  (s2 real dd; i·u swaps planes with sign)
-    t_rh, t_rl = _dd_scale(uih, uil, -s2h, -s2l)
-    t_ih, t_il = _dd_scale(urh, url, s2h, s2l)
-    v2rh, v2rl = _dd_add(t_rh, t_rl, v0[0], v0[1])
-    v2ih, v2il = _dd_add(t_ih, t_il, v0[2], v0[3])
-    # Φ += a_k · v2 (a_k real dd from SMEM)
+    p, e = _h_component(plan, gsplits, uniform, vh, vl, nb, dh, dl)
+    if sign < 0:
+        p, e = -p, -e
+    v2h, err = _two_sum(p, v0h)
+    v2l = e + v0l + err
+    v2h, v2l = _two_sum(v2h, v2l)  # renormalize: feeds the recurrence
+
+    # Φ += a_k·v2 (a_k dd scalar from SMEM; split on the scalar unit)
     ah = a_ref[0, 0]
     al = a_ref[0, 1]
-    prh, prl = _dd_scale(v2rh, v2rl, ah, al)
-    pih, pil = _dd_scale(v2ih, v2il, ah, al)
-    phrh, phrl = _dd_add(ph[0], ph[1], prh, prl)
-    phih, phil = _dd_add(ph[2], ph[3], pih, pil)
-    for r, v in zip(outs, (v2rh, v2rl, v2ih, v2il, phrh, phrl, phih, phil)):
-        r[:] = v
+    t = _b(_SPLIT * ah)
+    a1 = _b(t - _b(t - ah))
+    a2 = _b(ah - a1)
+    q, qe = _prod_presplit(v2h, a1, a2, ah, al, xl=v2l)
+    nphh, err = _two_sum(phh, q)
+    nphl = phl + qe + err  # Φ unnormalized across iterations (see doc)
+
+    o_v2h[:] = v2h
+    o_v2l[:] = v2l
+    o_phh[:] = nphh
+    o_phl[:] = nphl
 
 
-def _first_kernel_dd(plan, uniform_g, sh, sl, a_ref, *refs):
-    """Setup: v₁ = s·i·(H−β)v₀; Φ = a₀v₀ + a₁v₁.  ``a_ref`` holds
-    ``(a0_hi, a0_lo, a1_hi, a1_lo)`` in SMEM."""
-    n = len(refs)
-    has_w = n == 18
+def _first_component_kernel(plan, gsplits, uniform, n_cross, sign,
+                            a_ref, *refs):
+    """Setup, ONE component X: ``v1_X = sign·0.5·(H'v0)_Y``;
+    ``Φ_X = a0·v0_X + a1·v1_X``.  refs: v0y(2), nb(2·n_cross), dmb(2),
+    v0x(2) inputs → outputs v1x(2), phix(2)."""
     k = 0
-    v0 = [r[:] for r in refs[k:k + 4]]; k += 4
-    w = None
-    if has_w:
-        w = tuple(r[:] for r in refs[k:k + 4]); k += 4
-    dmb_h = refs[k][:]; dmb_l = refs[k + 1][:]; k += 2
-    outs = refs[k:]
+    vh, vl = refs[k][:], refs[k + 1][:]; k += 2
+    nb = []
+    for _ in range(n_cross):
+        nb.append((refs[k][:], refs[k + 1][:])); k += 2
+    dh, dl = refs[k][:], refs[k + 1][:]; k += 2
+    v0h, v0l = refs[k][:], refs[k + 1][:]; k += 2
+    o_v1h, o_v1l, o_phh, o_phl = refs[k:]
 
-    urh, url, uih, uil = _h_tile_dd(
-        plan, uniform_g, v0[0], v0[1], v0[2], v0[3], dmb_h, dmb_l, w
-    )
-    v1rh, v1rl = _dd_scale(uih, uil, -sh, -sl)
-    v1ih, v1il = _dd_scale(urh, url, sh, sl)
-    a0h, a0l, a1h, a1l = a_ref[0, 0], a_ref[0, 1], a_ref[0, 2], a_ref[0, 3]
-    prh, prl = _dd_scale(v0[0], v0[1], a0h, a0l)
-    pih, pil = _dd_scale(v0[2], v0[3], a0h, a0l)
-    qrh, qrl = _dd_scale(v1rh, v1rl, a1h, a1l)
-    qih, qil = _dd_scale(v1ih, v1il, a1h, a1l)
-    phrh, phrl = _dd_add(prh, prl, qrh, qrl)
-    phih, phil = _dd_add(pih, pil, qih, qil)
-    for r, v in zip(
-        outs, (v1rh, v1rl, v1ih, v1il, phrh, phrl, phih, phil)
-    ):
-        r[:] = v
+    p, e = _h_component(plan, gsplits, uniform, vh, vl, nb, dh, dl)
+    half = np.float32(0.5 * sign)
+    v1h, v1l = _two_sum(_b(half * p), _b(half * e))  # exact halving + renorm
 
+    a0h, a0l, a1h_, a1l_ = a_ref[0, 0], a_ref[0, 1], a_ref[0, 2], a_ref[0, 3]
 
-def _cross_kernel_dd(plan, n_cross, *refs):
-    """W tile = compensated dd sum of the ``n_cross`` scaled neighbor
-    tiles (one per top bit; neighbors addressed by the grid index_map).
-    refs: per cross bit 4 planes of v1's neighbor tile, then 4 W
-    outputs... × (re, im)."""
-    # refs layout: for j in range(n_cross): (rh, rl, ih, il); outputs 4
-    outs = refs[-4:]
-    srh = srl = sih = sil = None
-    for j in range(n_cross):
-        rh = refs[4 * j][:]
-        rl = refs[4 * j + 1][:]
-        ih = refs[4 * j + 2][:]
-        il = refs[4 * j + 3][:]
-        gh, gl = _split_f64(plan.gs[plan.L - plan.n_cross + j])
-        rh, rl = _dd_scale(rh, rl, gh, gl)
-        ih, il = _dd_scale(ih, il, gh, gl)
-        if srh is None:
-            srh, srl, sih, sil = rh, rl, ih, il
-        else:
-            srh, err = _two_sum(srh, rh)
-            srl = srl + err + rl
-            sih, err = _two_sum(sih, ih)
-            sil = sil + err + il
-    srh, srl = _two_sum(srh, srl)
-    sih, sil = _two_sum(sih, sil)
-    for r, v in zip(outs, (srh, srl, sih, sil)):
-        r[:] = v
+    def smem_split(x):
+        t = _b(_SPLIT * x)
+        s1 = _b(t - _b(t - x))
+        return s1, _b(x - s1)
+
+    s1, s2_ = smem_split(a0h)
+    q0, q0e = _prod_presplit(v0h, s1, s2_, a0h, a0l, xl=v0l)
+    s1, s2_ = smem_split(a1h_)
+    q1, q1e = _prod_presplit(v1h, s1, s2_, a1h_, a1l_, xl=v1l)
+    phh, err = _two_sum(q0, q1)
+    phl = q0e + q1e + err
+
+    o_v1h[:] = v1h
+    o_v1l[:] = v1l
+    o_phh[:] = phh
+    o_phl[:] = phl
 
 
 # ---- host-side driver ----------------------------------------------
@@ -307,8 +318,30 @@ def _smem_spec(width):
     return pl.BlockSpec((1, width), lambda i: (0, 0), **kw)
 
 
-def _dd_planes(x_hi, x_lo):
-    return x_hi.reshape(-1, _LANE), x_lo.reshape(-1, _LANE)
+def dd_tile_rows(L: int, budget_bytes: int = 24 * 2 ** 20) -> int:
+    """Largest power-of-two tile_rows (≤ 1024) whose component-kernel
+    working set (≈ (16 + 2·n_cross) blocks) fits ``budget_bytes`` of
+    scoped VMEM (the kernel raises the Mosaic cap accordingly; measured
+    optimum at 2^20: tile 1024 / 3 cross bits → 101 Gnnz/s vs 76 at
+    tile 512 / 4 cross bits, flat beyond)."""
+    rows = 1 << (L - _LANE_BITS)
+    tr = min(1024, rows)
+    while tr > 8:
+        n_cross = max(0, L - _LANE_BITS - int(np.log2(tr)))
+        blocks = 16 + 2 * n_cross
+        if blocks * tr * _LANE * 4 <= budget_bytes:
+            return tr
+        tr //= 2
+    return tr
+
+
+def _x64_available() -> bool:
+    return bool(jax.config.jax_enable_x64)
+
+
+def _dd_resplit_f64(x64):
+    hi = x64.astype(jnp.float32)
+    return hi, (x64 - hi.astype(jnp.float64)).astype(jnp.float32)
 
 
 @partial(
@@ -333,11 +366,12 @@ def cheby_step_fused_dd(
     ``H = diag + Σ g_j X_j``, on a df64 state.
 
     ``state`` is ``(re_hi, re_lo, im_hi, im_lo)`` f32 arrays;
-    ``dmb_h/dmb_l`` the dd plane of ``diag − β`` (β = Δ/2 + E_min);
+    ``dmb_h/dmb_l`` the dd planes of ``diag − β`` (β = Δ/2 + E_min);
     ``coeffs_h/coeffs_l`` the dd-split f64 Chebyshev coefficients.
     Accuracy ~1e-13 per step (vs the reference's complex128 1e-10
-    tolerance); cost: one fused VMEM pass + one neighbor-sum pass per
-    polynomial order.
+    tolerance, ``/root/reference/test/test_cheby.jl:8``).  Cost: two
+    component-split VMEM passes per polynomial order, cross-tile flips
+    read in-place via XOR index maps.
     """
     _USE_BARRIER[0] = bool(interpret)  # see note above _b
     rh, rl, ih, il = state
@@ -347,121 +381,156 @@ def cheby_step_fused_dd(
     n_tiles = rows // plan.tile_rows
     beta = float(delta) / 2.0 + float(e_min)
     sign = -1.0 if forward else 1.0
-    s_h, s_l = _split_f64(sign * 2.0 / float(delta))
-    s2_h, s2_l = _split_f64(2.0 * sign * 2.0 / float(delta))
-    uniform_g = len(set(plan.gs)) == 1
-    has_cross = plan.n_cross > 0
+    s2 = 2.0 * sign * 2.0 / float(delta)
+    uniform = len(set(plan.gs)) == 1
+    n_cross = plan.n_cross
+
+    # fold s2 into the operator: dmb' = s2·dmb (one pass per step),
+    # G_j = s2·g_j exactly in host f64 (both static).  Under x64 (CPU
+    # tests) the fold is exact f64; on f32-only TPUs it is one XLA df64
+    # pass (optimization_barrier suffices on the TPU backend — verified
+    # by validate_df64() on-chip; XLA *CPU* contracts through barriers,
+    # hence the x64 branch).
+    if _x64_available():
+        d64 = dmb_h.astype(jnp.float64) + dmb_l.astype(jnp.float64)
+        dmb2_h, dmb2_l = _dd_resplit_f64(d64 * np.float64(s2))
+    else:
+        from .df64 import DD, dd_scale
+
+        s2h, s2l = _split_f64(s2)
+        out = dd_scale(
+            DD(dmb_h, dmb_l), DD(jnp.float32(s2h), jnp.float32(s2l))
+        )
+        dmb2_h, dmb2_l = out.hi, out.lo
+    gsplits = tuple(_veltkamp_f64(s2 * float(g)) for g in plan.gs)
 
     vec = _vec_spec(plan.tile_rows)
     out4 = [jax.ShapeDtypeStruct((rows, _LANE), rh.dtype)] * 4
-    out8 = out4 * 2
+    # raise the scoped-VMEM cap when big tiles need it (fewer cross
+    # bits ↔ bigger tiles is a net win; measured 76 → 101 Gnnz/s at
+    # 2^20 going from tile 512 to 1024)
+    blocks = 12 + 2 * n_cross + 4
+    vmem_need = blocks * plan.tile_rows * _LANE * 4 + (1 << 20)
     cparams = (
-        pltpu.CompilerParams(dimension_semantics=("parallel",))
+        pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=max(vmem_need, 16 * 2 ** 20),
+        )
         if _HAS_PLTPU and not interpret
         else None
     )
     ckw = {"compiler_params": cparams} if cparams else {}
 
-    dmb_h2, dmb_l2 = _dd_planes(dmb_h, dmb_l)
+    dmb_planes = (dmb2_h.reshape(-1, _LANE), dmb2_l.reshape(-1, _LANE))
 
-    def cross_w(v4):
-        """W = Σ_topbits g_j · flip_j(v) via the neighbor-index kernel."""
-        if not has_cross:
-            return None
-        specs = []
-        args = []
-        for j in range(plan.n_cross):
-            for p in v4:
-                specs.append(_neighbor_spec(plan.tile_rows, j))
-                args.append(p)
-        kern = partial(_cross_kernel_dd, plan, plan.n_cross)
+    def comp_specs():
+        specs = [vec, vec]
+        for j in range(n_cross):
+            # cross bit j is row bit (n_row_bits + j) → tile-index bit j
+            specs += [_neighbor_spec(plan.tile_rows, j)] * 2
+        specs += [vec] * 6  # dmb(2), v0x(2), phix(2)
+        return specs
+
+    def run_iter_component(sgn, a_k2, v1y, v0x, phix):
+        """v1y/v0x/phix: (hi, lo) plane pairs."""
+        args = list(v1y)
+        for _ in range(n_cross):
+            args += list(v1y)  # same planes, neighbor-indexed specs
+        args += list(dmb_planes) + list(v0x) + list(phix)
+        n_in = 1 + len(args)
+        phi_base = n_in - 2
+        v0_base = n_in - 4
+        aliases = {v0_base: 0, v0_base + 1: 1,
+                   phi_base: 2, phi_base + 1: 3}
+        kern = partial(
+            _iter_component_kernel, plan, gsplits, uniform, n_cross, sgn
+        )
         return pl.pallas_call(
-            kern,
+            lambda a_ref, *r: kern(a_ref, *r),
             grid=(n_tiles,),
-            in_specs=specs,
+            in_specs=[_smem_spec(2)] + comp_specs(),
             out_specs=[vec] * 4,
             out_shape=out4,
-            interpret=interpret,
-            **ckw,
-        )(*args)
-
-    def run_first(v0, a01, w):
-        args = list(v0)
-        specs = [vec] * 4
-        if w is not None:
-            args += list(w)
-            specs += [vec] * 4
-        args += [dmb_h2, dmb_l2]
-        specs += [vec, vec]
-        kern = partial(_first_kernel_dd, plan, uniform_g, s_h, s_l)
-        return pl.pallas_call(
-            lambda a_ref, *r: kern(a_ref, *r),
-            grid=(n_tiles,),
-            in_specs=[_smem_spec(4)] + specs,
-            out_specs=[vec] * 8,
-            out_shape=out8,
-            interpret=interpret,
-            **ckw,
-        )(a01, *args)
-
-    def run_iter(a_k2, v0, v1, w, phi):
-        args = list(v0) + list(v1)
-        specs = [vec] * 8
-        if w is not None:
-            args += list(w)
-            specs += [vec] * 4
-        args += [dmb_h2, dmb_l2] + list(phi)
-        specs += [vec] * 6
-        kern = partial(_iter_kernel_dd, plan, uniform_g, s2_h, s2_l)
-        n_in = 1 + len(args)
-        # v0 planes -> v2 outputs, phi planes -> phi outputs (in place)
-        phi_base = n_in - 4
-        aliases = {1: 0, 2: 1, 3: 2, 4: 3,
-                   phi_base: 4, phi_base + 1: 5,
-                   phi_base + 2: 6, phi_base + 3: 7}
-        return pl.pallas_call(
-            lambda a_ref, *r: kern(a_ref, *r),
-            grid=(n_tiles,),
-            in_specs=[_smem_spec(2)] + specs,
-            out_specs=[vec] * 8,
-            out_shape=out8,
             input_output_aliases=aliases,
             interpret=interpret,
             **ckw,
         )(a_k2, *args)
 
-    v0 = (*_dd_planes(rh, rl), *_dd_planes(ih, il))
+    def run_first_component(sgn, a01, v0y, v0x):
+        args = list(v0y)
+        for _ in range(n_cross):
+            args += list(v0y)
+        args += list(dmb_planes) + list(v0x)
+        specs = [vec, vec]
+        for j in range(n_cross):
+            specs += [_neighbor_spec(plan.tile_rows, j)] * 2
+        specs += [vec] * 4
+        kern = partial(
+            _first_component_kernel, plan, gsplits, uniform, n_cross, sgn
+        )
+        return pl.pallas_call(
+            lambda a_ref, *r: kern(a_ref, *r),
+            grid=(n_tiles,),
+            in_specs=[_smem_spec(4)] + specs,
+            out_specs=[vec] * 4,
+            out_shape=out4,
+            interpret=interpret,
+            **ckw,
+        )(a01, *args)
+
+    def planes2(h, l):
+        return (h.reshape(-1, _LANE), l.reshape(-1, _LANE))
+
+    v0_re = planes2(rh, rl)
+    v0_im = planes2(ih, il)
+
     a01 = jnp.stack(
         [coeffs_h[0], coeffs_l[0], coeffs_h[1], coeffs_l[1]]
     ).reshape(1, 4)
-    w0 = cross_w(v0)
-    r1 = run_first(v0, a01, w0)
-    v1 = tuple(r1[:4])
-    phi = tuple(r1[4:])
+    # v1_re = -0.5·(H'v0)_im ; v1_im = +0.5·(H'v0)_re
+    r1 = run_first_component(-1.0, a01, v0_im, v0_re)
+    v1_re, phi_re = (r1[0], r1[1]), (r1[2], r1[3])
+    r1 = run_first_component(+1.0, a01, v0_re, v0_im)
+    v1_im, phi_im = (r1[0], r1[1]), (r1[2], r1[3])
 
     def body(carry, a_pair):
-        v0, v1, phi = carry
+        v0_re, v0_im, v1_re, v1_im, phi_re, phi_im = carry
         a_k2 = jnp.stack(a_pair).reshape(1, 2)
-        w = cross_w(v1)
-        out = run_iter(a_k2, v0, v1, w, phi)
-        v2 = tuple(out[:4])
-        phi = tuple(out[4:])
-        return (v1, v2, phi), None
+        o = run_iter_component(-1.0, a_k2, v1_im, v0_re, phi_re)
+        v2_re, phi_re = (o[0], o[1]), (o[2], o[3])
+        o = run_iter_component(+1.0, a_k2, v1_re, v0_im, phi_im)
+        v2_im, phi_im = (o[0], o[1]), (o[2], o[3])
+        return (v1_re, v1_im, v2_re, v2_im, phi_re, phi_im), None
 
-    (_, _, phi), _ = jax.lax.scan(
-        body, (v0, v1, phi), (coeffs_h[2:], coeffs_l[2:])
+    (_, _, _, _, phi_re, phi_im), _ = jax.lax.scan(
+        body,
+        (v0_re, v0_im, v1_re, v1_im, phi_re, phi_im),
+        (coeffs_h[2:], coeffs_l[2:]),
     )
 
-    # global phase exp(-i β dt): dd complex scale, one elementwise XLA
-    # pass using the barriered dd ops from .df64 (XLA needs them)
-    from .df64 import CDD, DD, cdd_scale
-
+    # renormalize Φ (deferred through the loop), then the global phase
+    # exp(-i β dt).  Under x64 (CPU tests): exact f64 pass; on TPU: one
+    # elementwise XLA pass with the barriered dd ops from .df64.
     ph = np.exp(-1j * beta * float(dt))
+    if _x64_available():
+        zr = phi_re[0].astype(jnp.float64) + phi_re[1].astype(jnp.float64)
+        zi = phi_im[0].astype(jnp.float64) + phi_im[1].astype(jnp.float64)
+        wr = zr * np.float64(ph.real) - zi * np.float64(ph.imag)
+        wi = zr * np.float64(ph.imag) + zi * np.float64(ph.real)
+        orh, orl = _dd_resplit_f64(wr)
+        oih, oil = _dd_resplit_f64(wi)
+        return (
+            orh.reshape(shape), orl.reshape(shape),
+            oih.reshape(shape), oil.reshape(shape),
+        )
+    from .df64 import CDD, DD, cdd_scale, two_sum as xla_two_sum
+
+    prh, prl = xla_two_sum(*phi_re)
+    pih, pil = xla_two_sum(*phi_im)
     phase = CDD(
         DD(*(jnp.float32(v) for v in _split_f64(ph.real))),
         DD(*(jnp.float32(v) for v in _split_f64(ph.imag))),
     )
-    prh, prl, pih, pil = phi
     out = cdd_scale(CDD(DD(prh, prl), DD(pih, pil)), phase)
     return (
         out.re.hi.reshape(shape),
