@@ -75,12 +75,14 @@ def main():
     ap.add_argument("--lattice2d", type=str, default=None,
                     help="LxxLy 2D lattice instead of a chain, e.g. 4x6")
     ap.add_argument("--kernel", choices=("fused", "planar", "complex", "dd"),
-                    default="fused",
-                    help="fused = single-pass Pallas Chebyshev iteration "
-                         "(ops/fused_cheby.py); planar = (re,im)-f32 XLA "
-                         "path; complex = complex64 XLA path; dd = df64 "
-                         "double-float Pallas kernel (~1e-13/step, "
-                         "reference accuracy)")
+                    default="dd",
+                    help="dd = df64 double-float Pallas kernel (~1e-13/"
+                         "step, reference accuracy; the DEFAULT headline "
+                         "— it is the only kernel meeting the reference's "
+                         "1e-10 contract); fused = f32 single-pass Pallas "
+                         "iteration (ops/fused_cheby.py, ~1e-7/step); "
+                         "planar = (re,im)-f32 XLA path; complex = "
+                         "complex64 XLA path")
     ap.add_argument("--complex", dest="kernel", action="store_const",
                     const="complex")
     ap.add_argument("--planar", dest="kernel", action="store_const",
@@ -277,6 +279,46 @@ def main():
         f"({total_matvecs} matvecs, {steps_per_s:.2f} steps/s)"
     )
 
+    # error budget: one kernel step vs an exact float64 host oracle
+    # (the reference contract is 1e-10 total, test/test_cheby.jl:8)
+    per_step_err = None
+    if args.kernel == "dd" and L <= 20:
+        idx = np.arange(N)
+        diag_o = (
+            ising_diagonal_np(
+                L,
+                lattice2d_bonds(Lx, Ly) if args.lattice2d else chain_bonds(L),
+                J, h,
+            )
+        )
+
+        def h_apply(v):
+            out = diag_o * v
+            for j in range(L):
+                out = out + g * v[idx ^ (1 << j)]
+            return out
+
+        state0 = (re, jnp.zeros_like(re), im, jnp.zeros_like(im))
+        s1 = cheby_step_fused_dd(
+            plan, dmb_h, dmb_l, state0, cdd_h, cdd_l, delta, e_min, args.dt
+        )
+        z = (
+            np.asarray(s1[0], np.float64) + np.asarray(s1[1], np.float64)
+            + 1j * (np.asarray(s1[2], np.float64) + np.asarray(s1[3], np.float64))
+        )
+        c64o = np.asarray(cheby_coeffs(delta, args.dt))
+        v0 = np.asarray(re, np.float64) + 1j * np.asarray(im, np.float64)
+        beta_o = delta / 2 + e_min
+        v1 = (-2j / delta) * (h_apply(v0) - beta_o * v0)
+        phi = c64o[0] * v0 + c64o[1] * v1
+        for k in range(2, len(c64o)):
+            v2 = (-4j / delta) * (h_apply(v1) - beta_o * v1) + v0
+            phi = phi + c64o[k] * v2
+            v0, v1 = v1, v2
+        oracle = np.exp(-1j * beta_o * args.dt) * phi
+        per_step_err = float(np.abs(z - oracle).max())
+        log(f"per-step error vs f64 oracle: {per_step_err:.3e}")
+
     baseline = cpu_csr_baseline(args.L_ref)
     result = {
         "metric": f"cheby_spmv_throughput_{label}",
@@ -294,6 +336,11 @@ def main():
             }[args.kernel],
             "platform": dev.platform,
             "state_norm_after": round(nrm, 9),
+            **(
+                {"per_step_error_vs_f64": per_step_err}
+                if per_step_err is not None
+                else {}
+            ),
         },
     }
     print(json.dumps(result), flush=True)

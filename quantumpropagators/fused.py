@@ -30,6 +30,67 @@ from .ops.fused_cheby import cheby_step_fused, flip_structure
 __all__ = ["cheby_propagate_fused", "make_fused_cheby_propagator"]
 
 
+def _dd_split_np(x64):
+    """Host f64 → (hi, lo) f32 planes."""
+    x64 = np.asarray(x64, dtype=np.float64)
+    hi = x64.astype(np.float32)
+    return jnp.asarray(hi), jnp.asarray((x64 - hi.astype(np.float64)).astype(np.float32))
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "plan", "delta", "e_min", "dt", "forward",
+        "observable_fn", "store_states", "interpret", "n_steps",
+    ),
+)
+def _fused_scan_pallas_dd(
+    plan,
+    dmb_h,
+    dmb_l,
+    state4,
+    c_h,
+    c_l,
+    delta,
+    e_min,
+    dt,
+    forward,
+    observable_fn,
+    store_states,
+    interpret,
+    n_steps,
+):
+    """Scan the df64 Pallas kernel (:mod:`.ops.fused_cheby_dd`) over
+    ``n_steps`` uniform intervals.  The state is four f32 planes
+    (re_hi, re_lo, im_hi, im_lo) for the whole propagation — reference
+    accuracy (~1e-13/step) without float64 hardware."""
+    from .ops.fused_cheby_dd import cheby_step_fused_dd
+
+    def merge(state):
+        rh, rl, ih, il = state
+        if jax.config.jax_enable_x64:
+            return (rh.astype(jnp.float64) + rl) + 1j * (
+                ih.astype(jnp.float64) + il
+            )
+        return jax.lax.complex(rh + rl, ih + il)
+
+    def step(state, _):
+        state = cheby_step_fused_dd(
+            plan, dmb_h, dmb_l, state, c_h, c_l, delta, e_min, dt,
+            forward=forward, interpret=interpret,
+        )
+        if observable_fn is not None:
+            out = observable_fn(merge(state))
+        elif store_states:
+            out = merge(state)
+        else:
+            out = None
+        return state, out
+
+    state4, outputs = jax.lax.scan(step, state4, None, length=n_steps)
+    return state4, outputs
+
+
 @partial(
     jax.jit,
     static_argnames=("forward", "observable_fn", "store_states", "apply_fn"),
@@ -182,8 +243,71 @@ def cheby_propagate_fused(
     coeffs_table = jnp.asarray(coeffs_table, dtype=rdtype)
     cheby_coeff_arr = jnp.asarray(workspace.coeffs, dtype=rdtype)
     dt = workspace.dt if not backward else -workspace.dt
-    if kernel not in ("auto", "xla", "pallas"):
+    if kernel not in ("auto", "xla", "pallas", "dd"):
         raise ValueError(f"unknown kernel={kernel!r}")
+    if kernel == "dd":
+        # double-float Pallas path: reference accuracy (~1e-13/step) on
+        # f32-only TPUs.  Static operators only — the dd kernel folds
+        # the flip coefficients at trace time.
+        fs = flip_structure(list(ops))
+        if fs is None:
+            raise ValueError(
+                "kernel='dd' requires diagonal-plus-site-flip structure"
+            )
+        if isinstance(generator, Generator) and generator.amplitudes:
+            raise ValueError(
+                "kernel='dd' supports static operators only (no "
+                "time-dependent amplitudes); use kernel='pallas' or "
+                "'xla' for driven systems"
+            )
+        plan, diag, diag_pos, flip_pos = fs
+        c_static = (
+            np.asarray(generator.coeffs, dtype=np.float64)
+            if isinstance(generator, Operator)
+            else np.ones(len(ops))
+        )
+        diag64 = np.asarray(diag, dtype=np.float64) * c_static[diag_pos]
+        g_scale = float(c_static[flip_pos])
+        if g_scale != 1.0:
+            from .ops.fused_cheby import make_flip_plan
+
+            plan = make_flip_plan(
+                plan.L,
+                np.asarray(plan.gs, dtype=np.float64) * g_scale,
+                tile_rows=plan.tile_rows,
+            )
+        beta = float(workspace.delta) / 2.0 + float(workspace.e_min)
+        dmb_h, dmb_l = _dd_split_np(diag64 - beta)
+        c64 = np.asarray(workspace.coeffs, dtype=np.float64)
+        c_h, c_l = _dd_split_np(c64)
+        psi_np = np.asarray(psi0)
+        rh, rl = _dd_split_np(psi_np.real)
+        ih, il = _dd_split_np(psi_np.imag)
+        on_tpu = jax.devices()[0].platform == "tpu"
+        state4, outputs = _fused_scan_pallas_dd(
+            plan,
+            dmb_h,
+            dmb_l,
+            (rh, rl, ih, il),
+            c_h,
+            c_l,
+            float(workspace.delta),
+            float(workspace.e_min),
+            float(dt),
+            not backward,
+            observable_fn,
+            store_states,
+            not on_tpu,
+            len(tlist) - 1,
+        )
+        rh, rl, ih, il = state4
+        if jax.config.jax_enable_x64:
+            psi_final = (rh.astype(jnp.float64) + rl) + 1j * (
+                ih.astype(jnp.float64) + il
+            )
+        else:
+            psi_final = jax.lax.complex(rh + rl, ih + il)
+        return psi_final, outputs
     if kernel in ("auto", "pallas") and apply_fn is None:
         fs = flip_structure(list(ops))
         on_tpu = jax.devices()[0].platform == "tpu"

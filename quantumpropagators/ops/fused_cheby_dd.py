@@ -171,8 +171,10 @@ def _flip_terms(plan: FlipPlan, th, tl):
 def _h_component(plan, gsplits, uniform, vh, vl, nb, dh, dl):
     """Unnormalized ``H'·v`` for ONE component of v: (p, e) with
     H' = dmb' + Σ_j G_j·flip_j, dmb' = (dh, dl) planes, G_j the
-    pre-split (folded) flip scalars, ``nb`` the (hi, lo) neighbor-tile
-    pairs for the cross bits."""
+    pre-split (folded) flip scalars, ``nb`` a list of
+    ``(gs_index, hi, lo)`` flip contributions supplied as whole planes
+    (cross-tile neighbors and, in the sharded step, remote-shard
+    planes from ``ppermute``)."""
     # diagonal product (dd planes; split of dh in-kernel, shared-free)
     p = _b(vh * dh)
     x1, x2 = _split(vh)
@@ -190,7 +192,7 @@ def _h_component(plan, gsplits, uniform, vh, vl, nb, dh, dl):
             else:
                 Fh, err = _two_sum(Fh, fh)
                 Fc = Fc + err + fl_
-        for nh, nl in nb:
+        for _, nh, nl in nb:
             if Fh is None:
                 Fh, Fc = nh, nl
             else:
@@ -204,15 +206,15 @@ def _h_component(plan, gsplits, uniform, vh, vl, nb, dh, dl):
             e = e + err + qe
     else:
         # per-bit pre-split scaling; in-tile bit index == gs index,
-        # cross bit j uses gs[L - n_cross + j]
+        # plane contributions carry their gs index explicitly
         for idx, fh, fl_ in _flip_terms(plan, vh, vl):
             g1, g2, gl = gsplits[idx]
             gh = np.float32(g1 + g2)
             q, qe = _prod_presplit(fh, g1, g2, gh, gl, xl=fl_)
             p, err = _two_sum(p, q)
             e = e + err + qe
-        for j, (nh, nl) in enumerate(nb):
-            g1, g2, gl = gsplits[plan.L - plan.n_cross + j]
+        for gidx, nh, nl in nb:
+            g1, g2, gl = gsplits[gidx]
             gh = np.float32(g1 + g2)
             q, qe = _prod_presplit(nh, g1, g2, gh, gl, xl=nl)
             p, err = _two_sum(p, q)
@@ -220,18 +222,22 @@ def _h_component(plan, gsplits, uniform, vh, vl, nb, dh, dl):
     return p, e
 
 
-def _iter_component_kernel(plan, gsplits, uniform, n_cross, sign,
-                           a_ref, *refs):
+def _iter_component_kernel(plan, gsplits, uniform, n_cross, n_remote,
+                           sign, a_ref, *refs):
     """One fused dd Chebyshev iteration, ONE output component X:
     ``v2_X = sign·(H'v1)_Y + v0_X``;  ``Φ_X += a_k·v2_X``.
 
-    refs: v1y(2), nb(2·n_cross), dmb(2), v0x(2), phix(2) inputs, then
-    outputs v2x(2), phix(2).  ``a_ref`` holds (a_hi, a_lo) in SMEM."""
+    refs: v1y(2), nb(2·n_cross), remote(2·n_remote), dmb(2), v0x(2),
+    phix(2) inputs, then outputs v2x(2), phix(2).  ``a_ref`` holds
+    (a_hi, a_lo) in SMEM."""
+    in_tile = plan.L - plan.n_cross
     k = 0
     vh, vl = refs[k][:], refs[k + 1][:]; k += 2
     nb = []
-    for _ in range(n_cross):
-        nb.append((refs[k][:], refs[k + 1][:])); k += 2
+    for j in range(n_cross):
+        nb.append((in_tile + j, refs[k][:], refs[k + 1][:])); k += 2
+    for j in range(n_remote):
+        nb.append((plan.L + j, refs[k][:], refs[k + 1][:])); k += 2
     dh, dl = refs[k][:], refs[k + 1][:]; k += 2
     v0h, v0l = refs[k][:], refs[k + 1][:]; k += 2
     phh, phl = refs[k][:], refs[k + 1][:]; k += 2
@@ -260,16 +266,20 @@ def _iter_component_kernel(plan, gsplits, uniform, n_cross, sign,
     o_phl[:] = nphl
 
 
-def _first_component_kernel(plan, gsplits, uniform, n_cross, sign,
-                            a_ref, *refs):
+def _first_component_kernel(plan, gsplits, uniform, n_cross, n_remote,
+                            sign, a_ref, *refs):
     """Setup, ONE component X: ``v1_X = sign·0.5·(H'v0)_Y``;
-    ``Φ_X = a0·v0_X + a1·v1_X``.  refs: v0y(2), nb(2·n_cross), dmb(2),
-    v0x(2) inputs → outputs v1x(2), phix(2)."""
+    ``Φ_X = a0·v0_X + a1·v1_X``.  refs: v0y(2), nb(2·n_cross),
+    remote(2·n_remote), dmb(2), v0x(2) inputs → outputs v1x(2),
+    phix(2)."""
+    in_tile = plan.L - plan.n_cross
     k = 0
     vh, vl = refs[k][:], refs[k + 1][:]; k += 2
     nb = []
-    for _ in range(n_cross):
-        nb.append((refs[k][:], refs[k + 1][:])); k += 2
+    for j in range(n_cross):
+        nb.append((in_tile + j, refs[k][:], refs[k + 1][:])); k += 2
+    for j in range(n_remote):
+        nb.append((plan.L + j, refs[k][:], refs[k + 1][:])); k += 2
     dh, dl = refs[k][:], refs[k + 1][:]; k += 2
     v0h, v0l = refs[k][:], refs[k + 1][:]; k += 2
     o_v1h, o_v1l, o_phh, o_phl = refs[k:]
@@ -346,7 +356,10 @@ def _dd_resplit_f64(x64):
 
 @partial(
     jax.jit,
-    static_argnames=("plan", "delta", "e_min", "dt", "forward", "interpret"),
+    static_argnames=(
+        "plan", "delta", "e_min", "dt", "forward", "interpret",
+        "extra_nb_fn", "extra_gs",
+    ),
 )
 def cheby_step_fused_dd(
     plan: FlipPlan,
@@ -361,6 +374,8 @@ def cheby_step_fused_dd(
     *,
     forward: bool = True,
     interpret: bool = False,
+    extra_nb_fn=None,
+    extra_gs: tuple = (),
 ):
     """One dd Chebyshev step ``exp(-i H dt)``,
     ``H = diag + Σ g_j X_j``, on a df64 state.
@@ -372,7 +387,13 @@ def cheby_step_fused_dd(
     tolerance, ``/root/reference/test/test_cheby.jl:8``).  Cost: two
     component-split VMEM passes per polynomial order, cross-tile flips
     read in-place via XOR index maps.
-    """
+
+    ``extra_nb_fn(state4) -> list[(rh, rl, ih, il)]`` (static) injects
+    additional bit-flip contributions computed OUTSIDE the kernel — one
+    4-plane tuple per extra bit, with flip coefficients ``extra_gs``
+    (host floats).  The sharded variant uses this for device-index-bit
+    flips delivered by ``ppermute``
+    (:mod:`..parallel.sharded_fused`)."""
     _USE_BARRIER[0] = bool(interpret)  # see note above _b
     rh, rl, ih, il = state
     shape = rh.shape
@@ -382,8 +403,9 @@ def cheby_step_fused_dd(
     beta = float(delta) / 2.0 + float(e_min)
     sign = -1.0 if forward else 1.0
     s2 = 2.0 * sign * 2.0 / float(delta)
-    uniform = len(set(plan.gs)) == 1
+    uniform = len(set(plan.gs) | set(float(g) for g in extra_gs)) == 1
     n_cross = plan.n_cross
+    n_remote = len(extra_gs)
 
     # fold s2 into the operator: dmb' = s2·dmb (one pass per step),
     # G_j = s2·g_j exactly in host f64 (both static).  Under x64 (CPU
@@ -402,14 +424,16 @@ def cheby_step_fused_dd(
             DD(dmb_h, dmb_l), DD(jnp.float32(s2h), jnp.float32(s2l))
         )
         dmb2_h, dmb2_l = out.hi, out.lo
-    gsplits = tuple(_veltkamp_f64(s2 * float(g)) for g in plan.gs)
+    gsplits = tuple(_veltkamp_f64(s2 * float(g)) for g in plan.gs) + tuple(
+        _veltkamp_f64(s2 * float(g)) for g in extra_gs
+    )
 
     vec = _vec_spec(plan.tile_rows)
     out4 = [jax.ShapeDtypeStruct((rows, _LANE), rh.dtype)] * 4
     # raise the scoped-VMEM cap when big tiles need it (fewer cross
     # bits ↔ bigger tiles is a net win; measured 76 → 101 Gnnz/s at
     # 2^20 going from tile 512 to 1024)
-    blocks = 12 + 2 * n_cross + 4
+    blocks = 12 + 2 * n_cross + 2 * n_remote + 4
     vmem_need = blocks * plan.tile_rows * _LANE * 4 + (1 << 20)
     cparams = (
         pltpu.CompilerParams(
@@ -428,14 +452,18 @@ def cheby_step_fused_dd(
         for j in range(n_cross):
             # cross bit j is row bit (n_row_bits + j) → tile-index bit j
             specs += [_neighbor_spec(plan.tile_rows, j)] * 2
+        specs += [vec] * (2 * n_remote)  # remote planes, own tiling
         specs += [vec] * 6  # dmb(2), v0x(2), phix(2)
         return specs
 
-    def run_iter_component(sgn, a_k2, v1y, v0x, phix):
-        """v1y/v0x/phix: (hi, lo) plane pairs."""
+    def run_iter_component(sgn, a_k2, v1y, remote_y, v0x, phix):
+        """v1y/v0x/phix: (hi, lo) plane pairs; remote_y: list of (hi,
+        lo) pairs of the Y component from the extra-bit hook."""
         args = list(v1y)
         for _ in range(n_cross):
             args += list(v1y)  # same planes, neighbor-indexed specs
+        for pair in remote_y:
+            args += list(pair)
         args += list(dmb_planes) + list(v0x) + list(phix)
         n_in = 1 + len(args)
         phi_base = n_in - 2
@@ -443,7 +471,8 @@ def cheby_step_fused_dd(
         aliases = {v0_base: 0, v0_base + 1: 1,
                    phi_base: 2, phi_base + 1: 3}
         kern = partial(
-            _iter_component_kernel, plan, gsplits, uniform, n_cross, sgn
+            _iter_component_kernel, plan, gsplits, uniform,
+            n_cross, n_remote, sgn,
         )
         return pl.pallas_call(
             lambda a_ref, *r: kern(a_ref, *r),
@@ -456,17 +485,21 @@ def cheby_step_fused_dd(
             **ckw,
         )(a_k2, *args)
 
-    def run_first_component(sgn, a01, v0y, v0x):
+    def run_first_component(sgn, a01, v0y, remote_y, v0x):
         args = list(v0y)
         for _ in range(n_cross):
             args += list(v0y)
+        for pair in remote_y:
+            args += list(pair)
         args += list(dmb_planes) + list(v0x)
         specs = [vec, vec]
         for j in range(n_cross):
             specs += [_neighbor_spec(plan.tile_rows, j)] * 2
+        specs += [vec] * (2 * n_remote)
         specs += [vec] * 4
         kern = partial(
-            _first_component_kernel, plan, gsplits, uniform, n_cross, sgn
+            _first_component_kernel, plan, gsplits, uniform,
+            n_cross, n_remote, sgn,
         )
         return pl.pallas_call(
             lambda a_ref, *r: kern(a_ref, *r),
@@ -481,24 +514,36 @@ def cheby_step_fused_dd(
     def planes2(h, l):
         return (h.reshape(-1, _LANE), l.reshape(-1, _LANE))
 
+    def remote_pairs(v4_flat):
+        """Call the extra-bit hook on flat (N,)-shaped planes and split
+        the result into per-component (hi, lo) plane-pair lists."""
+        if extra_nb_fn is None:
+            return [], []
+        ext = extra_nb_fn(tuple(p.reshape(shape) for p in v4_flat))
+        re_pairs = [planes2(t[0], t[1]) for t in ext]
+        im_pairs = [planes2(t[2], t[3]) for t in ext]
+        return re_pairs, im_pairs
+
     v0_re = planes2(rh, rl)
     v0_im = planes2(ih, il)
 
     a01 = jnp.stack(
         [coeffs_h[0], coeffs_l[0], coeffs_h[1], coeffs_l[1]]
     ).reshape(1, 4)
+    rem_re, rem_im = remote_pairs(v0_re + v0_im)
     # v1_re = -0.5·(H'v0)_im ; v1_im = +0.5·(H'v0)_re
-    r1 = run_first_component(-1.0, a01, v0_im, v0_re)
+    r1 = run_first_component(-1.0, a01, v0_im, rem_im, v0_re)
     v1_re, phi_re = (r1[0], r1[1]), (r1[2], r1[3])
-    r1 = run_first_component(+1.0, a01, v0_re, v0_im)
+    r1 = run_first_component(+1.0, a01, v0_re, rem_re, v0_im)
     v1_im, phi_im = (r1[0], r1[1]), (r1[2], r1[3])
 
     def body(carry, a_pair):
         v0_re, v0_im, v1_re, v1_im, phi_re, phi_im = carry
         a_k2 = jnp.stack(a_pair).reshape(1, 2)
-        o = run_iter_component(-1.0, a_k2, v1_im, v0_re, phi_re)
+        rem_re, rem_im = remote_pairs(v1_re + v1_im)
+        o = run_iter_component(-1.0, a_k2, v1_im, rem_im, v0_re, phi_re)
         v2_re, phi_re = (o[0], o[1]), (o[2], o[3])
-        o = run_iter_component(+1.0, a_k2, v1_re, v0_im, phi_im)
+        o = run_iter_component(+1.0, a_k2, v1_re, rem_re, v0_im, phi_im)
         v2_im, phi_im = (o[0], o[1]), (o[2], o[3])
         return (v1_re, v1_im, v2_re, v2_im, phi_re, phi_im), None
 

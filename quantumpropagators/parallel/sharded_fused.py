@@ -34,7 +34,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..ops.fused_cheby import FlipPlan, make_flip_plan, cheby_step_fused
 from .mesh import STATE_AXIS
 
-__all__ = ["make_sharded_fused_cheby_step", "sharded_flip_plan"]
+__all__ = [
+    "make_sharded_fused_cheby_step",
+    "make_sharded_fused_cheby_step_dd",
+    "sharded_flip_plan",
+]
 
 
 def sharded_flip_plan(
@@ -134,5 +138,90 @@ def make_sharded_fused_cheby_step(
             diag, re, im, coeffs,
             jnp.asarray(flip_scale, dtype=re.dtype),
         )
+
+    return step
+
+
+def make_sharded_fused_cheby_step_dd(
+    mesh: Mesh,
+    L: int,
+    g,
+    *,
+    delta: float,
+    e_min: float,
+    dt: float,
+    tile_rows: int | None = None,
+    forward: bool = True,
+    interpret: bool = False,
+    axis_name: str = STATE_AXIS,
+):
+    """Build a jitted multi-chip **double-float** fused Chebyshev step —
+    the reference-accuracy (~1e-13/step) kernel of
+    :mod:`..ops.fused_cheby_dd` composed with the hypercube shard
+    exchange.
+
+    Returns ``step(dmb_h, dmb_l, state4, coeffs_h, coeffs_l) ->
+    state4`` where ``state4 = (re_hi, re_lo, im_hi, im_lo)`` are global
+    ``(2^L,)`` f32 arrays sharded ``P(axis_name)``, ``dmb_h/dmb_l`` the
+    dd planes of ``diag − β``, and ``coeffs_h/coeffs_l`` the replicated
+    dd-split Chebyshev coefficients.  Device-index-bit flips are
+    delivered to the kernel as extra whole-shard planes via pairwise
+    ``ppermute`` (all four dd planes exchanged — the remote lo planes
+    carry the compensation, keeping the sharded result bit-comparable
+    to the single-device kernel)."""
+    from ..ops.fused_cheby_dd import cheby_step_fused_dd, dd_tile_rows
+
+    n_dev = mesh.devices.size
+    p = int(np.log2(n_dev))
+    if (1 << p) != n_dev:
+        raise ValueError("n_devices must be a power of two")
+    gs = np.broadcast_to(np.asarray(g, dtype=np.float64), (L,))
+    L_local = L - p
+    tr = tile_rows or dd_tile_rows(L_local)
+    plan_local = make_flip_plan(L_local, gs[:L_local], tile_rows=tr)
+    device_gs = tuple(float(v) for v in gs[L_local:])
+
+    def extra_nb(state4):
+        n = jax.lax.axis_size(axis_name)
+        out = []
+        for j in range(len(device_gs)):
+            perm = [(i, i ^ (1 << j)) for i in range(n)]
+            out.append(tuple(
+                jax.lax.ppermute(pl_, axis_name, perm) for pl_ in state4
+            ))
+        return out
+
+    def _step(dmb_h, dmb_l, state4, c_h, c_l):
+        return cheby_step_fused_dd(
+            plan_local,
+            dmb_h,
+            dmb_l,
+            state4,
+            c_h,
+            c_l,
+            delta,
+            e_min,
+            dt,
+            forward=forward,
+            interpret=interpret,
+            extra_nb_fn=extra_nb,
+            extra_gs=device_gs,
+        )
+
+    sharded = jax.shard_map(
+        _step,
+        mesh=mesh,
+        in_specs=(
+            P(axis_name), P(axis_name),
+            (P(axis_name),) * 4, P(), P(),
+        ),
+        out_specs=(P(axis_name),) * 4,
+        # pallas_call outputs carry no varying-mesh-axes metadata
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(dmb_h, dmb_l, state4, coeffs_h, coeffs_l):
+        return sharded(dmb_h, dmb_l, tuple(state4), coeffs_h, coeffs_l)
 
     return step

@@ -149,3 +149,24 @@ def test_dd_fused_multi_step_accuracy(problem):
         z = cheby_apply(op, z, jnp.asarray(c), delta, e_min, dt)
     assert np.abs(merge(state) - np.asarray(z)).max() < 1e-12
     assert abs(np.linalg.norm(merge(state)) - 1.0) < 1e-12
+
+
+def test_dd_kernel_via_cheby_propagate_fused():
+    """kernel='dd' wired through the fused driver matches the complex128
+    XLA path to 1e-12 (static TFIM operator)."""
+    import jax.numpy as jnp
+
+    from quantumpropagators.fused import cheby_propagate_fused
+    from quantumpropagators.models.lattice import transverse_field_ising
+
+    H_diag, H_x = transverse_field_ising(L, J=J, g=g, h=h, dtype=jnp.float64)
+    op = qp.Operator([H_diag, H_x], np.array([1.0, 1.0]))
+    rng = np.random.default_rng(7)
+    psi0 = rng.standard_normal(2 ** L) + 1j * rng.standard_normal(2 ** L)
+    psi0 = jnp.asarray(psi0 / np.linalg.norm(psi0))
+    tlist = np.linspace(0.0, 0.3, 4)
+    bound = J * (L - 1) + abs(h) * L + g * L
+    kw = dict(specrange_method="manual", E_min=-bound, E_max=bound)
+    psi_dd, _ = cheby_propagate_fused(psi0, op, tlist, kernel="dd", **kw)
+    psi_xla, _ = cheby_propagate_fused(psi0, op, tlist, kernel="xla", **kw)
+    assert np.abs(np.asarray(psi_dd) - np.asarray(psi_xla)).max() < 1e-12
