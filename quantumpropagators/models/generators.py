@@ -326,7 +326,9 @@ def _ham_to_superop(H, convention: str):
     """
     import scipy.sparse as sp
 
-    H = sp.csr_matrix(np.asarray(to_dense(H)))
+    from ..ops.operators import to_scipy_sparse
+
+    H = to_scipy_sparse(H).tocsr().astype(np.complex128)
     Id = sp.identity(H.shape[0], dtype=np.complex128, format="csr")
     L = sp.kron(Id, H) - sp.kron(H.T, Id)
     if convention == "TDSE":
@@ -341,7 +343,9 @@ def _lindblad_to_superop(A, convention: str):
     (reference ``src/generators.jl:493-513``)."""
     import scipy.sparse as sp
 
-    A = sp.csr_matrix(np.asarray(to_dense(A)))
+    from ..ops.operators import to_scipy_sparse
+
+    A = to_scipy_sparse(A).tocsr().astype(np.complex128)
     Ad = A.conj().T.tocsr()
     AdA = (Ad @ A).tocsr()
     Id = sp.identity(A.shape[0], dtype=np.complex128, format="csr")

@@ -44,6 +44,7 @@ __all__ = [
     "apply",
     "op_dot",
     "to_dense",
+    "to_scipy_sparse",
     "op_shape",
     "csr_from_scipy",
     "csr_from_dense",
@@ -326,6 +327,56 @@ def op_shape(op) -> tuple:
     if isinstance(op, (jnp.ndarray, np.ndarray)):
         return tuple(op.shape)
     return tuple(op.shape)
+
+
+def to_scipy_sparse(op):
+    """Convert any operator to a host ``scipy.sparse.csr_matrix``
+    WITHOUT going through a dense ``(N, N)`` intermediate for sparse
+    inputs.
+
+    This is the assembly-side primitive that keeps Liouvillian
+    construction sparse end-to-end (reference
+    ``src/generators.jl:473-524`` keeps CSC sparsity through ``kron``);
+    dense inputs are accepted for small systems only.
+    """
+    import scipy.sparse as sp
+
+    if isinstance(op, CSROperator):
+        return op.to_scipy()
+    if isinstance(op, DiagonalOperator):
+        return sp.diags(np.asarray(op.diag)).tocsr()
+    if isinstance(op, DIAOperator):
+        N = op.shape[0]
+        data = np.asarray(op.data)
+        # row-aligned storage -> scipy dia_matrix wants column-aligned:
+        # scipy's data[k, j] multiplies column j on diagonal off;
+        # ours data[k, i] sits at (i, i+off).  Shift accordingly.
+        mats = []
+        for k, off in enumerate(op.offsets):
+            d = data[k]
+            if off >= 0:
+                diag = d[: N - off] if off else d
+            else:
+                diag = d[-off:] if off else d
+            mats.append(sp.diags(diag, off, shape=op.shape))
+        return sum(mats[1:], mats[0].tocsr()) if mats else sp.csr_matrix(op.shape)
+    if isinstance(op, StackedCSROperator):
+        return sp.csr_matrix(
+            (
+                np.asarray(op.data).sum(axis=0),
+                np.asarray(op.col),
+                np.asarray(op.indptr),
+            ),
+            shape=op.shape,
+        )
+    if isinstance(op, (jnp.ndarray, np.ndarray)):
+        return sp.csr_matrix(np.asarray(op))
+    # last resort: ScaledOperator / unknown pytree operators
+    scale = getattr(op, "coeff", None)
+    inner = getattr(op, "operator", None)
+    if scale is not None and inner is not None:
+        return (complex(scale) * to_scipy_sparse(inner)).tocsr()
+    return sp.csr_matrix(np.asarray(to_dense(op)))
 
 
 # --------------------------------------------------------------------------

@@ -91,3 +91,75 @@ def test_time_dependent_liouvillian():
     assert len(L.amplitudes) == 1
     assert L.amplitudes[0] is eps
     assert L.shape == (4, 4)
+
+
+def test_liouvillian_stays_sparse_large():
+    """Liouvillian assembly never densifies: a 2^6-dim sparse H gives a
+    2^12-dim superoperator built entirely through sparse kron
+    (reference src/generators.jl:473-524 stays sparse end-to-end).
+
+    The action of L on a random rho is checked against the dense
+    Lindblad RHS computed blockwise.
+    """
+    import scipy.sparse as sp
+
+    from quantumpropagators.ops.operators import (
+        CSROperator,
+        csr_from_scipy,
+        to_scipy_sparse,
+    )
+
+    rng = np.random.default_rng(7)
+    N = 64  # superoperator dim 4096 = 2^12
+    # sparse tridiagonal-ish Hermitian H + one sparse Lindblad op
+    main = rng.normal(size=N)
+    off = rng.normal(size=N - 1) + 1j * rng.normal(size=N - 1)
+    H_sp = sp.diags([off.conj(), main, off], [-1, 0, 1]).tocsr()
+    A_sp = sp.diags([np.sqrt(np.arange(1, N, dtype=float))], [1]).tocsr()
+    H = csr_from_scipy(H_sp)
+    A = csr_from_scipy(A_sp)
+    L = qp.liouvillian(H, [A], convention="LvN")
+    assert isinstance(L, CSROperator)
+    # nnz must stay O(N * nnz_H) -- a densified path would give ~N^4
+    assert L.nnz < 40 * N * H_sp.nnz
+    rho = rng.normal(size=(N, N)) + 1j * rng.normal(size=(N, N))
+    rho = 0.5 * (rho + rho.conj().T)
+    got = np.asarray(qp.apply(L, jnp.asarray(vec(rho))))
+    Hd, Ad = H_sp.toarray(), A_sp.toarray()
+    # framework LvN convention (= reference src/generators.jl:477-480):
+    # L vec(rho) = i vec([H, rho]) + vec(D[rho])
+    rhs = 1j * (Hd @ rho - rho @ Hd) + (
+        Ad @ rho @ Ad.conj().T
+        - 0.5 * (Ad.conj().T @ Ad @ rho + rho @ Ad.conj().T @ Ad)
+    )
+    assert np.allclose(got, vec(rhs), atol=1e-12)
+
+
+def test_to_scipy_sparse_roundtrips():
+    """to_scipy_sparse handles every operator container without
+    densifying semantics errors (DIA row-aligned -> scipy column map)."""
+    import scipy.sparse as sp
+
+    from quantumpropagators.ops.operators import (
+        DiagonalOperator,
+        csr_from_scipy,
+        dia_from_scipy,
+        to_dense,
+        to_scipy_sparse,
+    )
+
+    rng = np.random.default_rng(3)
+    N = 17
+    D = sp.diags(
+        [rng.normal(size=N - 2), rng.normal(size=N), rng.normal(size=N - 3)],
+        [-2, 0, 3],
+    ).tocsr()
+    for op in (
+        csr_from_scipy(D),
+        dia_from_scipy(D),
+        DiagonalOperator(jnp.asarray(rng.normal(size=N))),
+        jnp.asarray(D.toarray()),
+    ):
+        got = to_scipy_sparse(op).toarray()
+        want = np.asarray(to_dense(op))
+        assert np.allclose(got, want, atol=1e-14), type(op)
