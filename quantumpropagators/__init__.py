@@ -47,6 +47,10 @@ from .ops.operators import (
     CSROperator,
     DIAOperator,
     dia_from_scipy,
+    BSROperator,
+    bsr_from_scipy,
+    bsr_from_dense,
+    choose_block_size,
     DiagonalOperator,
     StackedCSROperator,
     apply,
@@ -105,6 +109,10 @@ __all__ = [
     "CSROperator",
     "DIAOperator",
     "dia_from_scipy",
+    "BSROperator",
+    "bsr_from_scipy",
+    "bsr_from_dense",
+    "choose_block_size",
     "DiagonalOperator",
     "StackedCSROperator",
     "apply",

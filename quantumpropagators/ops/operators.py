@@ -41,6 +41,10 @@ __all__ = [
     "StackedCSROperator",
     "DIAOperator",
     "dia_from_scipy",
+    "BSROperator",
+    "bsr_from_scipy",
+    "bsr_from_dense",
+    "choose_block_size",
     "apply",
     "op_dot",
     "to_dense",
@@ -276,6 +280,160 @@ def dia_from_scipy(A, dtype=None) -> DIAOperator:
     )
 
 
+@dataclass(frozen=True)
+class BSROperator:
+    """Block-sparse operator: dense ``(b, b)`` blocks in a padded
+    blocked-ELL layout.
+
+    The TPU-native layout for *unstructured* sparse operators (optomech
+    kron products, transmon ladders, Liouvillians): instead of ``nnz``
+    scalar gathers (pathological on TPU — the VPU has no scatter/gather
+    hardware), each block-row gathers ``k`` *contiguous* length-``b``
+    slices of the state and contracts a dense ``(b, k·b)`` tile with
+    them — one batched ``dot_general`` that XLA maps onto the MXU.  This
+    is the BSR design from SURVEY §7.4.2 ("BSR with dense blocks sized
+    to MXU tiles is the viable layout"); the reference relies on
+    SparseArrays CSC (``src/cheby.jl:146-148`` generic ``mul!``), which
+    has no TPU analogue.
+
+    Layout: ``blocks[r, j]`` is the dense ``(b, b)`` block in block-row
+    ``r`` at block-column ``cols[r, j]``; rows are padded to the maximum
+    block-degree ``k`` with all-zero blocks pointing at block-column 0.
+    ``N = R·b`` must be exact (build with :func:`bsr_from_scipy`, which
+    zero-pads the matrix if needed).
+    """
+
+    blocks: Any  # (R, k, b, b)
+    cols: Any  # (R, k) int32 block-column ids
+    shape: tuple = ()  # (N, N) logical shape (pre-padding)
+    block_size: int = 0  # static b
+
+    @property
+    def nnzb(self):
+        return self.blocks.shape[0] * self.blocks.shape[1]
+
+    @property
+    def nnz(self):
+        # dense-block entry count (the unit the Gnnz/s metric uses)
+        return self.nnzb * self.block_size * self.block_size
+
+    def apply(self, psi):
+        b = self.block_size
+        R = self.blocks.shape[0]
+        n_pad = R * b
+        N = self.shape[0]
+
+        def matvec(v):
+            if n_pad != N:
+                v = jnp.concatenate(
+                    [v, jnp.zeros((n_pad - N,), dtype=v.dtype)]
+                )
+            x = v.reshape(R, b)
+            xg = x[self.cols]  # (R, k, b) contiguous block gathers
+            # y[r, i] = sum_{j, l} blocks[r, j, i, l] * xg[r, j, l]
+            y = jax.lax.dot_general(
+                self.blocks,
+                xg,
+                dimension_numbers=(((1, 3), (1, 2)), ((0,), (0,))),
+                preferred_element_type=jnp.result_type(
+                    self.blocks.dtype, v.dtype
+                ),
+            )
+            return y.reshape(n_pad)[:N]
+
+        if psi.ndim == 1:
+            return matvec(psi)
+        lead = psi.shape[:-1]
+        flat = psi.reshape((-1, psi.shape[-1]))
+        out = jax.vmap(matvec)(flat)
+        return out.reshape(lead + (N,))
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        R, k, b, _ = self.blocks.shape
+        blocks = np.asarray(self.blocks).reshape(R * k, b, b)
+        cols = np.asarray(self.cols).reshape(-1)
+        rows = np.repeat(np.arange(R, dtype=np.int64), k)
+        keep = np.abs(blocks).max(axis=(1, 2)) > 0
+        A = sp.bsr_matrix(
+            (blocks[keep], cols[keep], np.concatenate([[0], np.cumsum(
+                np.bincount(rows[keep], minlength=R))]).astype(np.int64)),
+            shape=(R * b, R * b),
+        ).tocsr()
+        return A[: self.shape[0], : self.shape[1]].tocsr()
+
+    def to_dense(self):
+        return jnp.asarray(self.to_scipy().toarray())
+
+
+_register_pytree(BSROperator, ("blocks", "cols"), ("shape", "block_size"))
+
+
+def choose_block_size(N: int, max_b: int = 64) -> int:
+    """Largest power-of-two divisor of ``N`` up to ``max_b`` (blocks
+    should tile the MXU lane dimension; 8–64 is the sweet spot)."""
+    b = 1
+    while b * 2 <= max_b and N % (b * 2) == 0:
+        b *= 2
+    return b
+
+
+def bsr_from_scipy(A, block_size: int = None, dtype=None) -> BSROperator:
+    """Build a :class:`BSROperator` from any scipy sparse matrix.
+
+    The matrix is zero-padded up to a multiple of ``block_size`` when
+    needed; block-rows are padded to the maximum block-degree with zero
+    blocks (blocked-ELL).  For near-uniform sparsity (lattice kron
+    operators, ladders) the padding overhead is negligible.
+    """
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(A)
+    N, M = A.shape
+    if N != M:
+        raise ValueError("BSROperator requires a square matrix")
+    if block_size is None:
+        block_size = choose_block_size(N)
+    b = int(block_size)
+    n_pad = -(-N // b) * b
+    if n_pad != N:
+        A = sp.bmat(
+            [[A, sp.csr_matrix((N, n_pad - N))],
+             [sp.csr_matrix((n_pad - N, N)), sp.csr_matrix((n_pad - N, n_pad - N))]],
+            format="csr",
+        )
+    B = A.tobsr(blocksize=(b, b))
+    B.sort_indices()
+    if dtype is None:
+        dtype = jnp.complex128 if B.dtype.kind == "c" else B.dtype
+    R = n_pad // b
+    degrees = np.diff(B.indptr)
+    k = max(1, int(degrees.max()))
+    blocks = np.zeros((R, k, b, b), dtype=np.asarray(B.data).dtype)
+    cols = np.zeros((R, k), dtype=np.int32)
+    for r in range(R):
+        lo, hi = B.indptr[r], B.indptr[r + 1]
+        d = hi - lo
+        blocks[r, :d] = B.data[lo:hi]
+        cols[r, :d] = B.indices[lo:hi]
+    return BSROperator(
+        blocks=jnp.asarray(blocks, dtype=dtype),
+        cols=jnp.asarray(cols),
+        shape=(N, M),
+        block_size=b,
+    )
+
+
+def bsr_from_dense(A, block_size: int = None, tol: float = 0.0) -> BSROperator:
+    import scipy.sparse as sp
+
+    A = np.asarray(A)
+    if tol > 0:
+        A = np.where(np.abs(A) > tol, A, 0)
+    return bsr_from_scipy(sp.csr_matrix(A), block_size=block_size, dtype=A.dtype)
+
+
 # --------------------------------------------------------------------------
 # Generic functional interface
 # --------------------------------------------------------------------------
@@ -341,7 +499,7 @@ def to_scipy_sparse(op):
     """
     import scipy.sparse as sp
 
-    if isinstance(op, CSROperator):
+    if isinstance(op, (CSROperator, BSROperator)):
         return op.to_scipy()
     if isinstance(op, DiagonalOperator):
         return sp.diags(np.asarray(op.diag)).tocsr()
@@ -423,15 +581,13 @@ def add_operators(a, b):
         return jnp.asarray(a) + jnp.asarray(b)
     if isinstance(a, DiagonalOperator) and isinstance(b, DiagonalOperator):
         return DiagonalOperator(a.diag + b.diag)
+    if isinstance(a, BSROperator) or isinstance(b, BSROperator):
+        bs = a.block_size if isinstance(a, BSROperator) else b.block_size
+        return bsr_from_scipy(
+            to_scipy_sparse(a) + to_scipy_sparse(b), block_size=bs
+        )
     if isinstance(a, CSROperator) or isinstance(b, CSROperator):
-        import scipy.sparse as sp
-
-        def _to_sp(x):
-            if isinstance(x, CSROperator):
-                return x.to_scipy()
-            return sp.csr_matrix(np.asarray(to_dense(x)))
-
-        return csr_from_scipy(_to_sp(a) + _to_sp(b))
+        return csr_from_scipy(to_scipy_sparse(a) + to_scipy_sparse(b))
     return to_dense(a) + to_dense(b)
 
 
@@ -442,5 +598,9 @@ def scale_operator(alpha, op):
     if isinstance(op, DiagonalOperator):
         return DiagonalOperator(alpha * op.diag)
     if isinstance(op, CSROperator):
+        return dataclasses.replace(op, data=alpha * op.data)
+    if isinstance(op, BSROperator):
+        return dataclasses.replace(op, blocks=alpha * op.blocks)
+    if isinstance(op, DIAOperator):
         return dataclasses.replace(op, data=alpha * op.data)
     return alpha * to_dense(op)
