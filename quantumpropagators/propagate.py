@@ -137,11 +137,29 @@ def _propagate_fused(
             "are unsupported (use observables instead)"
         )
     tlist = np.asarray(tlist, dtype=np.float64)
+    max_bytes = int(kwargs.pop("max_storage_bytes", 8 << 30))
     observable_fn = None
     store_states = False
     if storage is not None and storage is not False:
         if observables is None:
             store_states = True
+            # memory-cliff guard: storing every state materializes an
+            # (nt-1, N) trajectory on host.  At the BASELINE 2^24 x 1000
+            # steps config that is terabytes -- refuse and point at the
+            # streaming alternative instead of OOM-killing the host.
+            n_state = int(np.prod(np.shape(state)))
+            est_bytes = (len(tlist) - 1) * n_state * np.dtype(
+                np.asarray(state).dtype
+            ).itemsize
+            if est_bytes > max_bytes:
+                raise ValueError(
+                    f"fused=True with storage of all states would "
+                    f"materialize ~{est_bytes / 2**30:.1f} GiB on host "
+                    f"(> {max_bytes / 2**30:.1f} GiB limit). Pass "
+                    f"`observables=...` to stream expectation values "
+                    f"instead, raise `max_storage_bytes`, or use the "
+                    f"stepwise path (fused=False) with a callback."
+                )
         else:
             obs = observables if isinstance(observables, (tuple, list)) else (observables,)
 

@@ -106,3 +106,27 @@ def test_propagate_fused_flag(problem):
                      callback=lambda p, o: None)
     with pytest.raises(ValueError, match="cheby"):
         qp.propagate(psi0, gen, tlist, method="newton", fused=True)
+
+
+def test_fused_storage_memory_guard():
+    """Storing all states above the host-memory limit must refuse with
+    an actionable error, not OOM (VERDICT: 2^24 x 1000 steps = 128 TB)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import pytest
+    import quantumpropagators as qp
+
+    rng = np.random.default_rng(5)
+    from quantumpropagators.utils.fixtures import random_matrix, random_state_vector
+    H0 = jnp.asarray(random_matrix(16, hermitian=True, spectral_radius=2, rng=rng))
+    gen = qp.hamiltonian(H0, (H0, lambda t: np.sin(t)))
+    psi0 = jnp.asarray(random_state_vector(16, rng=rng))
+    tlist = np.linspace(0, 1.0, 11)
+    with pytest.raises(ValueError, match="GiB"):
+        qp.propagate(psi0, gen, tlist, method="cheby", fused=True,
+                     storage=True, max_storage_bytes=100)
+    # streaming observables stays fine under the same limit
+    out = qp.propagate(psi0, gen, tlist, method="cheby", fused=True,
+                       storage=True, max_storage_bytes=100,
+                       observables=(lambda p: jnp.vdot(p, p).real,))
+    assert out.shape == (11,)
