@@ -64,8 +64,291 @@ def cpu_csr_baseline(L_ref: int) -> float:
     return gnnz
 
 
+def bench_rabi():
+    """BASELINE config 1: 2-level Rabi, 100-step Chebyshev — steps/s.
+
+    A latency metric (N=2 has no FLOPs to speak of): the whole 100-step
+    propagation is one fused ``lax.scan`` on device (the TPU-native
+    shape of the reference's host step loop, ``src/propagate.jl:283``),
+    timed end to end.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from quantumpropagators.ops.cheby import cheby_coeffs
+
+    dev = jax.devices()[0]
+    n_steps = 100
+    dt = 0.1
+    omega, rabi = 1.0, 0.5
+    delta = 2 * np.sqrt(omega**2 + rabi**2)
+    e_min = -delta / 2
+    coeffs = jnp.asarray(
+        cheby_coeffs(delta, dt), dtype=jnp.float32
+    )
+    tgrid = np.arange(n_steps) * dt + dt / 2
+    eps = jnp.asarray(np.cos(0.2 * tgrid), dtype=jnp.float32)
+
+    @jax.jit
+    def run(re, im, eps):
+        beta = jnp.float32(delta / 2 + e_min)
+
+        def h_apply(v, e):
+            H = jnp.array([[0.5 * omega, 0.0], [0.0, -0.5 * omega]],
+                          dtype=v.dtype) + e * rabi * jnp.array(
+                [[0.0, 1.0], [1.0, 0.0]], dtype=v.dtype)
+            return H @ v
+
+        def step(carry, e):
+            r, i = carry
+            v0 = r + 1j * i
+            v1 = (-2j / delta) * (h_apply(v0, e) - beta * v0)
+            phi = coeffs[0] * v0 + coeffs[1] * v1
+
+            def body(k, s):
+                v0, v1, phi = s
+                v2 = (-4j / delta) * (h_apply(v1, e) - beta * v1) + v0
+                return (v1, v2, phi + coeffs[k] * v2)
+
+            v0, v1, phi = jax.lax.fori_loop(
+                2, coeffs.shape[0], body, (v0, v1, phi)
+            )
+            psi = jnp.exp(-1j * beta * dt) * phi
+            return (jnp.real(psi), jnp.imag(psi)), None
+
+        (r, i), _ = jax.lax.scan(step, (re, im), eps)
+        return jnp.sqrt(jnp.sum(r**2 + i**2))
+
+    re = jnp.asarray([1.0, 0.0], dtype=jnp.float32)
+    im = jnp.zeros(2, dtype=jnp.float32)
+    float(run(re, im, eps))  # compile
+    reps = 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        nrm = float(run(re, im, eps))
+    elapsed = time.perf_counter() - t0
+    steps_per_s = reps * n_steps / elapsed
+    log(f"rabi: {steps_per_s:.0f} steps/s, ‖Ψ‖={nrm:.6f} on {dev.platform}")
+    print(json.dumps({
+        "metric": "rabi_2level_cheby_steps",
+        "value": round(steps_per_s, 1),
+        "unit": "steps/s",
+        "vs_baseline": None,
+        "extra": {"n_steps": n_steps, "platform": dev.platform,
+                  "state_norm_after": round(nrm, 7)},
+    }), flush=True)
+
+
+def bench_transmon():
+    """BASELINE config 2: driven transmon ladder N=10, Newton vs Cheby
+    matvec counts per 100 steps (reference
+    ``docs/src/benchmarks/profiling.md:112``: ≈2000 vs ≈1200 at N=200)
+    plus wall-clock steps/s for each method."""
+    import jax.numpy as jnp
+
+    import quantumpropagators as qp
+    from quantumpropagators.ops.operators import dia_from_scipy
+    from quantumpropagators.utils.timings import disable_timings, enable_timings
+
+    import scipy.sparse as sp
+
+    N = 10
+    a = sp.diags(np.sqrt(np.arange(1, N, dtype=float)), 1).tocsr()
+    ad = a.conj().T.tocsr()
+    n_op = (ad @ a).tocsr()
+    alpha = -0.2
+    H0 = (6.0 * n_op + 0.5 * alpha * (n_op @ (n_op - sp.identity(N)))).tocsr()
+    Hd = (a + ad).tocsr()
+    eps = lambda t: 0.3 * float(np.cos(5.8 * t))
+    gen = qp.hamiltonian(dia_from_scipy(H0), (dia_from_scipy(Hd), eps))
+    psi0 = np.zeros(N, complex)
+    psi0[0] = 1.0
+    tlist = np.linspace(0.0, 10.0, 101)  # 100 steps
+    results = {}
+    psis = {}
+    enable_timings()
+    for method, kw in (("cheby", {}), ("newton", {"m_max": 8})):
+        prop = qp.init_prop(jnp.asarray(psi0), gen, tlist, method=method, **kw)
+        # warm the compile caches, then re-init and time
+        while qp.prop_step(prop) is not None:
+            pass
+        prop = qp.init_prop(jnp.asarray(psi0), gen, tlist, method=method, **kw)
+        t0 = time.perf_counter()
+        psi = None
+        nxt = qp.prop_step(prop)
+        while nxt is not None:
+            psi, nxt = nxt, qp.prop_step(prop)
+        elapsed = time.perf_counter() - t0
+        psis[method] = psi
+        matvecs = int(prop.timing_data.counters.get("matvec", 0))
+        results[method] = {
+            "matvecs_per_100_steps": matvecs,
+            "steps_per_s": round(100 / elapsed, 1),
+        }
+        log(f"transmon {method}: {matvecs} matvecs, "
+            f"{100 / elapsed:.1f} steps/s")
+    disable_timings()
+    agree = float(np.linalg.norm(np.asarray(psis["cheby"])
+                                 - np.asarray(psis["newton"])))
+    log(f"transmon newton-vs-cheby agreement: {agree:.2e}")
+    print(json.dumps({
+        "metric": "transmon_ladder_matvecs_newton_vs_cheby",
+        "value": results["newton"]["matvecs_per_100_steps"],
+        "unit": "matvecs/100steps",
+        "vs_baseline": round(
+            results["newton"]["matvecs_per_100_steps"]
+            / max(results["cheby"]["matvecs_per_100_steps"], 1), 2
+        ),
+        "extra": {**{f"{m}_{k}": v for m, r in results.items()
+                     for k, v in r.items()},
+                  "newton_vs_cheby_state_diff": agree},
+    }), flush=True)
+
+
+def bench_optomech():
+    """BASELINE config 3: optomech cavity (55-dim kron CSR).
+
+    Measures BSR (MXU blocked-ELL) vs gather-CSR apply throughput on
+    the device over a batch of states — the layout decision SURVEY
+    §7.4.2 calls out.  Operator entries are real (the optomech H has
+    real couplings); states are (re, im) planes so no complex buffers
+    cross the device boundary.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    import scipy.sparse as sp
+
+    from quantumpropagators.ops.operators import (
+        apply, bsr_from_scipy, csr_from_scipy,
+    )
+
+    dev = jax.devices()[0]
+
+    def destroy(n):
+        return sp.diags(np.sqrt(np.arange(1, n + 1)), 1)
+
+    N_cav, N_mech = 4, 10
+    a = sp.kron(destroy(N_cav), sp.identity(N_mech + 1), format="csr")
+    b = sp.kron(sp.identity(N_cav + 1), destroy(N_mech), format="csr")
+    at, bt = a.T.tocsr(), b.T.tocsr()
+    H = (10.0 * (at @ a) + 10.0 * (bt @ b) + 2.0 * (a + at)
+         - 1.0 * ((bt + b) @ (at @ a))).tocsr()
+    H.eliminate_zeros()
+    H = H.real.astype(np.float32)
+    N = H.shape[0]
+
+    def measure(H, batch, n_apply, block_size, reps=5):
+        rng = np.random.default_rng(0)
+        states = jnp.asarray(
+            rng.standard_normal((2 * batch, H.shape[0])), dtype=jnp.float32
+        )  # re and im planes interleaved as a plain batch
+        ops = {
+            "bsr": bsr_from_scipy(H, block_size=block_size,
+                                  dtype=jnp.float32),
+            "csr": csr_from_scipy(H, dtype=jnp.float32),
+        }
+        rates = {}
+        for name, op in ops.items():
+            @jax.jit
+            def run(op, v):
+                def body(v, _):
+                    return apply(op, v), None
+                v, _ = jax.lax.scan(body, v, None, length=n_apply)
+                return jnp.sqrt(jnp.sum(v**2))
+
+            float(run(op, states))
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                float(run(op, states))
+            elapsed = time.perf_counter() - t0
+            rates[name] = (
+                reps * n_apply * 2 * batch * H.nnz / elapsed / 1e9
+            )
+            log(f"  {name} (dim {H.shape[0]}, batch {batch}): "
+                f"{rates[name]:.2f} Gnnz/s")
+        return rates
+
+    log("optomech 55-dim (BASELINE config 3):")
+    rates = measure(H, batch=4096, n_apply=100, block_size=8)
+    # the layout decision at scale: a chain of 1024 coupled 64-level
+    # units (dense on-site + dense hopping blocks) at dim 2^16 — the
+    # regime where scalar gathers fall out of VMEM and BSR's
+    # contiguous block loads + MXU contraction dominate (SURVEY §7.4.2)
+    bsz, R = 64, 1024
+    rng = np.random.default_rng(1)
+    blocks = []
+    rows = []
+    cols = []
+    for r in range(R):
+        for c in (r - 1, r, r + 1):
+            if 0 <= c < R:
+                rows.append(r)
+                cols.append(c)
+                blocks.append(
+                    rng.standard_normal((bsz, bsz)).astype(np.float32)
+                )
+    indptr = np.concatenate(
+        [[0], np.cumsum(np.bincount(rows, minlength=R))]
+    ).astype(np.int64)
+    H2 = sp.bsr_matrix(
+        (np.stack(blocks), np.asarray(cols), indptr),
+        shape=(R * bsz, R * bsz),
+    ).tocsr()
+    log(f"block-dense chain {H2.shape[0]}-dim (nnz={H2.nnz}):")
+    rates2 = measure(H2, batch=8, n_apply=20, block_size=bsz, reps=3)
+    print(json.dumps({
+        "metric": "optomech_bsr_spmv_throughput",
+        "value": round(rates["bsr"], 3),
+        "unit": "Gnnz/s",
+        "vs_baseline": round(rates["bsr"] / rates["csr"], 2),
+        "extra": {"gather_csr_gnnzs": round(rates["csr"], 3),
+                  "batch": 4096, "nnz": int(H.nnz), "dim": N,
+                  "scaled_dim": int(H2.shape[0]),
+                  "scaled_bsr_gnnzs": round(rates2["bsr"], 3),
+                  "scaled_csr_gnnzs": round(rates2["csr"], 3),
+                  "scaled_speedup": round(rates2["bsr"] / rates2["csr"], 2),
+                  "platform": dev.platform},
+    }), flush=True)
+
+
+def run_suite():
+    """All five BASELINE configs, one JSON line each (VERDICT item 7).
+
+    Chain/2D reuse this script's headline machinery in subprocesses;
+    the small CPU-bound configs (rabi latency, transmon matvec counts)
+    run on the CPU backend like the reference does.
+    """
+    import os
+    import subprocess
+
+    here = os.path.abspath(__file__)
+    cpu_env = dict(
+        os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="",
+        JAX_ENABLE_X64="1",
+    )
+    jobs = [
+        (["--config", "rabi"], None),
+        (["--config", "transmon"], cpu_env),
+        (["--config", "optomech"], None),
+        (["--L", "20", "--kernel", "dd"], None),
+        (["--lattice2d", "4x6", "--kernel", "dd"], None),
+    ]
+    for extra, env in jobs:
+        subprocess.run(
+            [sys.executable, here, *extra], env=env, check=True
+        )
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--config", choices=("rabi", "transmon", "optomech"),
+                    default=None,
+                    help="run one of the small BASELINE configs instead "
+                         "of the headline chain/lattice measurement")
+    ap.add_argument("--suite", action="store_true",
+                    help="run all five BASELINE configs (one JSON line "
+                         "per config)")
     ap.add_argument("--L", type=int, default=20)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--dt", type=float, default=0.05)
@@ -90,6 +373,19 @@ def main():
     ap.add_argument("--tile-rows", type=int, default=512,
                     help="Pallas tile rows for the fused kernel")
     args = ap.parse_args()
+
+    if args.suite:
+        run_suite()
+        return
+    if args.config == "rabi":
+        bench_rabi()
+        return
+    if args.config == "transmon":
+        bench_transmon()
+        return
+    if args.config == "optomech":
+        bench_optomech()
+        return
 
     import jax
     import jax.numpy as jnp

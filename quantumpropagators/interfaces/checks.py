@@ -125,12 +125,22 @@ def check_tlist(tlist, *, quiet: bool = False) -> bool:
 
 
 def _state_dot(x, y) -> complex:
-    """Inner product through the array view of a (possibly custom)
-    state type."""
+    """Inner product of a (possibly custom) state type.
+
+    Uses the type's OWN ``dot`` method when defined (the axioms must
+    exercise the type's implementation, reference
+    ``src/interfaces/state.jl`` checks the methods, not a view);
+    otherwise the array view."""
+    fn = getattr(x, "dot", None)
+    if fn is not None and not isinstance(x, (np.ndarray, jnp.ndarray)):
+        return complex(fn(y))
     return complex(np.vdot(np.asarray(x), np.asarray(y)))
 
 
 def _state_norm(x) -> float:
+    fn = getattr(x, "norm", None)
+    if fn is not None:
+        return float(fn())
     return float(np.linalg.norm(np.asarray(x)))
 
 
@@ -155,6 +165,13 @@ def check_state(state, *, normalized: bool = False, quiet: bool = False) -> bool
             quiet,
             "the inner product of two states must be a complex number "
             "(the state must have a complex dtype)",
+        )
+        ok = False
+    if abs(ip.imag) > 1e-9 * max(1.0, abs(ip)):
+        _err(
+            quiet,
+            "dot(state, state) must be real (the inner product must "
+            "conjugate its first argument)",
         )
         ok = False
     try:
@@ -201,6 +218,11 @@ def check_state(state, *, normalized: bool = False, quiet: bool = False) -> bool
             ok = False
     except Exception:
         pass
+    # states exposing a 1D read interface must implement it faithfully
+    # (reference src/interfaces/state.jl:393-598)
+    if hasattr(state, "__len__") and np.asarray(state).ndim == 1:
+        if not check_state_vector_interface(state, quiet=quiet):
+            ok = False
     return ok
 
 
@@ -289,6 +311,18 @@ def check_operator(
             _err(quiet, f"an operator must be applicable to a state: {exc}")
             ok = False
             return ok
+        try:
+            # linearity: op @ (α ψ) == α (op @ ψ) (reference
+            # src/interfaces/operator.jl mul! axioms)
+            lhs = np.asarray(apply(op, 2.0 * state), dtype=complex)
+            rhs = 2.0 * np.asarray(phi, dtype=complex)
+            scale = max(1.0, float(np.linalg.norm(rhs)))
+            if np.linalg.norm(lhs - rhs) > 1e-9 * scale:
+                _err(quiet, "op @ state must be linear in the state")
+                ok = False
+        except Exception as exc:
+            _err(quiet, f"op @ state must be linear in the state: {exc}")
+            ok = False
         if for_expval:
             try:
                 e1 = complex(op_dot(state, op, state))
@@ -365,7 +399,8 @@ def check_amplitude(
     ok = True
     tlist = np.asarray(tlist, dtype=np.float64)
     try:
-        controls = get_controls(ampl)
+        raw = getattr(ampl, "_get_controls", None)
+        controls = raw() if raw is not None else get_controls(ampl)
         if not isinstance(controls, tuple):
             _err(quiet, "get_controls(ampl) must return a tuple")
             ok = False
@@ -383,6 +418,29 @@ def check_amplitude(
             ok = False
     except Exception as exc:
         _err(quiet, f"substitute(ampl, replacements) must be defined: {exc}")
+        ok = False
+    try:
+        # identity substitution of the CONTROLS goes through the
+        # amplitude's own _substitute and must return a working
+        # amplitude (reference src/interfaces/amplitude.jl substitution
+        # round-trip)
+        reps = IdDict([(c, c) for c in get_controls(ampl)])
+        replaced = substitute(ampl, reps)
+        if get_controls(replaced) != get_controls(ampl) or not np.isclose(
+            complex(evaluate(replaced, tlist, 0)),
+            complex(evaluate(ampl, tlist, 0)),
+        ):
+            _err(
+                quiet,
+                "substitute(ampl, {controls: controls}) must return an "
+                "equivalent amplitude",
+            )
+            ok = False
+    except Exception as exc:
+        _err(
+            quiet,
+            f"substitute(ampl, replacements) must return an amplitude: {exc}",
+        )
         ok = False
     try:
         v = evaluate(ampl, tlist, 0)
@@ -551,6 +609,13 @@ def check_propagator(propagator, *, atol: float = 1e-9, quiet: bool = False) -> 
     if not check_state(psi, quiet=quiet):
         _err(quiet, "prop_step() must return a valid state")
         ok = False
+    if np.asarray(psi).shape != np.asarray(psi0).shape:
+        _err(
+            quiet,
+            "prop_step() must return a state of the same shape as the "
+            "initial state",
+        )
+        ok = False
     # run to the end of the grid
     steps = 1
     while steps < nt - 1:
@@ -568,8 +633,49 @@ def check_propagator(propagator, *, atol: float = 1e-9, quiet: bool = False) -> 
     if not np.isclose(propagator.t, t_end, atol=atol):
         _err(quiet, "after the last step, t must be at the end of the grid")
         ok = False
-    # set_state
+    # set_t: exact mid-grid jump, and snap-with-warning for off-grid
+    # times (reference src/interfaces/propagator.jl set_t! contract +
+    # src/pwc_utils.jl:48-71 snapping)
     try:
+        mid = nt // 2
+        propagator.set_t(tlist[mid])
+        if not np.isclose(propagator.t, tlist[mid], atol=atol):
+            _err(quiet, "set_t to a grid point must set t exactly")
+            ok = False
+        if nt >= 3:
+            t_off = 0.5 * (tlist[mid] + tlist[mid + 1])
+            import warnings as _warnings
+
+            with _warnings.catch_warnings(record=True) as caught:
+                _warnings.simplefilter("always")
+                propagator.set_t(t_off)
+            on_grid = bool(np.any(np.isclose(tlist, propagator.t, atol=atol)))
+            if on_grid and not np.isclose(propagator.t, t_off, atol=atol):
+                # piecewise propagators must snap AND warn
+                if not any("Snap" in str(w.message) for w in caught):
+                    _err(
+                        quiet,
+                        "set_t to an off-grid time must warn when "
+                        "snapping to the grid",
+                    )
+                    ok = False
+            elif not on_grid and not np.isclose(
+                propagator.t, t_off, atol=atol
+            ):
+                _err(quiet, "set_t must set t (to the value or a grid snap)")
+                ok = False
+    except Exception as exc:
+        _err(quiet, f"set_t must be defined: {exc}")
+        ok = False
+    # set_state: must take effect even when the current state differs
+    # (probe with a state that is NOT the propagator's current one, so
+    # a no-op set_state cannot pass by accident)
+    try:
+        probe = (1j) * psi0
+        propagator.set_state(probe)
+        if np.linalg.norm(np.asarray(propagator.state) - np.asarray(probe)) > atol:
+            _err(quiet, "set_state must replace the propagator's state")
+            ok = False
         propagator.set_state(psi0)
         if np.linalg.norm(np.asarray(propagator.state) - np.asarray(psi0)) > atol:
             _err(quiet, "set_state must replace the propagator's state")
