@@ -13,6 +13,7 @@ over TPU device meshes.
 from .config import use_cpu_x64
 from .models.controls import (
     ParameterizedFunction,
+    ParameterPartition,
     discretize,
     discretize_on_midpoints,
     evaluate,
@@ -81,6 +82,7 @@ __all__ = [
     "get_parameters",
     "substitute",
     "ParameterizedFunction",
+    "ParameterPartition",
     "IdDict",
     # shapes
     "flattop",

@@ -309,13 +309,71 @@ class ParameterizedFunction:
         return self.parameters
 
 
+class ParameterPartition(tuple):
+    """A combined view over several parameter arrays (the analogue of
+    the reference's ``RecursiveArrayTools.ArrayPartition`` combining,
+    ``src/controls.jl:575-621``).
+
+    It IS the tuple of the underlying arrays (so per-array access and
+    identity checks keep working), and additionally exposes a flat
+    1D-vector interface whose *writes alias through* to the underlying
+    arrays — an optimizer can treat all tunable parameters of a
+    generator as one vector while the controls see every update:
+
+    >>> p = ParameterPartition((a, b))
+    >>> v = p.as_vector()          # concatenated copy, for the optimizer
+    >>> p.set_vector(v_new)        # scatters back INTO a and b in place
+    """
+
+    @property
+    def n_params(self) -> int:
+        return sum(np.asarray(a).size for a in self)
+
+    def __array__(self, dtype=None, copy=None):
+        if len(self) == 0:
+            return np.zeros(0, dtype=dtype or np.float64)
+        out = np.concatenate([np.ravel(np.asarray(a)) for a in self])
+        return out if dtype is None else out.astype(dtype)
+
+    def as_vector(self) -> np.ndarray:
+        """Flat concatenated copy of all parameter values."""
+        return np.asarray(self)
+
+    def set_vector(self, values) -> None:
+        """Scatter a flat vector back into the underlying arrays
+        *in place* (controls holding the arrays see the update)."""
+        values = np.asarray(values)
+        if values.shape != (self.n_params,):
+            raise ValueError(
+                f"expected a flat vector of {self.n_params} values, "
+                f"got shape {values.shape}"
+            )
+        off = 0
+        for a in self:
+            n = np.asarray(a).size
+            a[...] = values[off:off + n].reshape(np.shape(a))
+            off += n
+
+    def flat_index(self, i: int) -> tuple:
+        """Map a flat index to ``(array_position, within_array_index)``."""
+        off = 0
+        for k, a in enumerate(self):
+            n = np.asarray(a).size
+            if i < off + n:
+                return k, i - off
+            off += n
+        raise IndexError(i)
+
+
 def get_parameters(obj: Any) -> np.ndarray | tuple:
     """Collect the unique tunable parameter arrays from ``obj``.
 
     Recurses through the controls of ``obj``; parameter arrays are
     deduplicated *by identity*, so controls sharing a parameter array
     contribute it only once (reference ``src/controls.jl:575-621``).
-    Returns a single array if exactly one was found, a tuple otherwise.
+    Returns a single array if exactly one was found, otherwise a
+    :class:`ParameterPartition` (a tuple subclass with a combined
+    flat-vector view, the ``ArrayPartition`` analogue).
     """
     seen: list = []
 
@@ -338,4 +396,4 @@ def get_parameters(obj: Any) -> np.ndarray | tuple:
     _collect(obj)
     if len(seen) == 1:
         return seen[0]
-    return tuple(seen)
+    return ParameterPartition(seen)

@@ -102,3 +102,30 @@ def test_parameterized_control_in_propagation():
     f.parameters[0] = 0.5
     out2 = qp.propagate(psi0, gen, tlist, method="cheby")
     assert float(jnp.abs(out2[1]) ** 2) == pytest.approx(0.5, abs=1e-9)
+
+
+def test_parameter_partition_combined_view():
+    """Multiple parameter arrays combine into a flat aliased view
+    (reference ArrayPartition combining, src/controls.jl:575-621)."""
+    from quantumpropagators.models.controls import ParameterPartition
+
+    H1 = jnp.asarray(np.array([[0, 1], [1, 0]], dtype=complex))
+    H2 = jnp.asarray(np.array([[0, -1j], [1j, 0]]))
+    f1 = CosineControl(1.0, 2.0)
+    f2 = CosineControl(0.5, 3.0)
+    gen = qp.hamiltonian(jnp.zeros((2, 2), dtype=complex), (H1, f1), (H2, f2))
+    p = get_parameters(gen)
+    assert isinstance(p, ParameterPartition)
+    assert isinstance(p, tuple)  # backward compatible
+    assert p.n_params == 4
+    v = p.as_vector()
+    assert v.shape == (4,)
+    assert np.allclose(v, [1.0, 2.0, 0.5, 3.0])
+    # writes through the combined view reach the controls
+    p.set_vector(np.array([9.0, 8.0, 7.0, 6.0]))
+    assert f1.parameters[0] == 9.0 and f1.parameters[1] == 8.0
+    assert f2.parameters[0] == 7.0 and f2.parameters[1] == 6.0
+    assert float(f1(0.0)) == 9.0  # control evaluates the new values
+    with pytest.raises(ValueError):
+        p.set_vector(np.zeros(3))
+    assert p.flat_index(2) == (1, 0)
