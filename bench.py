@@ -296,7 +296,9 @@ def bench_optomech():
         shape=(R * bsz, R * bsz),
     ).tocsr()
     log(f"block-dense chain {H2.shape[0]}-dim (nnz={H2.nnz}):")
-    rates2 = measure(H2, batch=8, n_apply=20, block_size=bsz, reps=3)
+    # gather-CSR is pathologically slow here (the point of the
+    # comparison) — keep its measured work small
+    rates2 = measure(H2, batch=8, n_apply=4, block_size=bsz, reps=2)
     print(json.dumps({
         "metric": "optomech_bsr_spmv_throughput",
         "value": round(rates["bsr"], 3),
