@@ -44,6 +44,8 @@ __all__ = [
     "make_allgather_bsr_apply",
     "banded_bsr_apply",
     "allgather_bsr_apply",
+    "make_sharded_bsr_cheby_step",
+    "DistributedBSR",
 ]
 
 
@@ -216,3 +218,113 @@ def make_allgather_bsr_apply(mesh: Mesh, pbsr: PartitionedBSR):
     if pbsr.halo_blocks >= 0:
         raise ValueError("pbsr was partitioned in banded mode")
     return _make_apply(mesh, pbsr, allgather_bsr_apply)
+
+
+def _inner_for(pbsr: PartitionedBSR):
+    return banded_bsr_apply if pbsr.halo_blocks >= 0 else allgather_bsr_apply
+
+
+def make_sharded_bsr_cheby_step(
+    mesh: Mesh,
+    pbsr: PartitionedBSR,
+    *,
+    delta: float,
+    e_min: float,
+    dt: float,
+    forward: bool = True,
+):
+    """Full Chebyshev step ``exp(-i H dt)`` over a block-partitioned BSR
+    operator, entirely under ``shard_map`` (BASELINE config 5 composed
+    with propagation, not just raw SpMV).
+
+    Returns ``step(pbsr, psi, coeffs) -> psi`` where ``psi`` is the
+    global state sharded ``P(x)`` and ``coeffs`` the replicated
+    Chebyshev coefficients.  Each polynomial order costs one distributed
+    block SpMV (two edge ``ppermute``s in banded mode); the recurrence
+    itself needs no reductions (SURVEY §5)."""
+    from ..ops.cheby import cheby_apply
+
+    inner = _inner_for(pbsr)
+    meta = dict(
+        halo_blocks=pbsr.halo_blocks,
+        n_block_rows_local=pbsr.n_block_rows_local,
+        n_devices=pbsr.n_devices,
+        block_size=pbsr.block_size,
+        shape=pbsr.shape,
+    )
+    spec = PartitionedBSR(blocks=P(STATE_AXIS), cols=P(STATE_AXIS), **meta)
+
+    def _step(pb, psi_local, coeffs):
+        pb_local = PartitionedBSR(
+            blocks=pb.blocks[0], cols=pb.cols[0], **meta
+        )
+        return cheby_apply(
+            pb_local,
+            psi_local,
+            coeffs,
+            delta,
+            e_min,
+            dt,
+            forward=forward,
+            apply_fn=lambda o, v: inner(o, v),
+        )
+
+    return jax.jit(
+        jax.shard_map(
+            _step,
+            mesh=mesh,
+            in_specs=(spec, P(STATE_AXIS), P()),
+            out_specs=P(STATE_AXIS),
+        )
+    )
+
+
+@dataclass(frozen=True)
+class DistributedBSR:
+    """Operator-protocol wrapper around a partitioned BSR matrix.
+
+    Implements the framework's ``apply``/``shape`` operator contract
+    (the TPU analogue of the reference's duck-typed ``mul!`` operand,
+    ``src/cheby.jl:146-148``) with a distributed ``shard_map`` SpMV, so
+    *any* kernel — Newton's restarted Arnoldi, ``specrange``, ``expv``
+    — composes with BSR block partitioning unchanged: matvecs are block
+    halo exchanges, inner products GSPMD ``psum`` reductions.  A
+    registered pytree (``pbsr`` data, ``mesh`` static), so it traces
+    through the jitted kernels like any other operator."""
+
+    mesh: Mesh
+    pbsr: PartitionedBSR
+
+    @property
+    def shape(self):
+        return self.pbsr.shape
+
+    def apply(self, psi):
+        pbsr = self.pbsr
+        inner = _inner_for(pbsr)
+        meta = dict(
+            halo_blocks=pbsr.halo_blocks,
+            n_block_rows_local=pbsr.n_block_rows_local,
+            n_devices=pbsr.n_devices,
+            block_size=pbsr.block_size,
+            shape=pbsr.shape,
+        )
+        spec = PartitionedBSR(
+            blocks=P(STATE_AXIS), cols=P(STATE_AXIS), **meta
+        )
+
+        def _fn(pb, v):
+            pb_local = PartitionedBSR(
+                blocks=pb.blocks[0], cols=pb.cols[0], **meta
+            )
+            return inner(pb_local, v)
+
+        return jax.shard_map(
+            _fn,
+            mesh=self.mesh,
+            in_specs=(spec, P(STATE_AXIS)),
+            out_specs=P(STATE_AXIS),
+        )(pbsr, psi)
+
+
+_register_pytree(DistributedBSR, ("pbsr",), ("mesh",))
