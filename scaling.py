@@ -77,7 +77,23 @@ def main():
     ap.add_argument("--L-base", type=int, default=14)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--dt", type=float, default=0.05)
+    ap.add_argument("--cpu", type=int, default=0, metavar="N",
+                    help="force the CPU backend with N virtual devices "
+                         "(in-process: the axon site shim overrides "
+                         "JAX_PLATFORMS env)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import os
+
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.cpu}"
+        )
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
 
     import jax
 
@@ -92,14 +108,31 @@ def main():
         log(f"{n} devices, L={L}: {gnnz:.2f} Gnnz/s total, "
             f"{gnnz/n:.2f}/device")
     base = results[counts[0]]["gnnz_per_dev"]
+    base_total = results[counts[0]]["gnnz_total"]
     for n in counts:
         results[n]["efficiency"] = round(results[n]["gnnz_per_dev"] / base, 3)
+        # on virtual devices sharing one physical socket, per-device
+        # efficiency trivially reads 1/n; total-throughput retention is
+        # the meaningful mechanics check there (SCALING.md)
+        results[n]["total_retention"] = round(
+            results[n]["gnnz_total"] / base_total, 3
+        )
+    shared = args.cpu > 0
+    last = results[counts[-1]]
     out = {
         "metric": "weak_scaling_efficiency",
-        "value": results[counts[-1]]["efficiency"],
-        "unit": "nnz/s-per-device vs 1 device",
-        "vs_baseline": results[counts[-1]]["efficiency"],
+        "value": last["total_retention"] if shared else last["efficiency"],
+        "unit": (
+            "total nnz/s retention (virtual devices, shared hardware)"
+            if shared else "nnz/s-per-device vs 1 device"
+        ),
+        "vs_baseline": last["efficiency"],
         "table": results,
+        "note": (
+            "virtual CPU devices share one socket: per-device efficiency "
+            "reads ~1/n by construction; see SCALING.md for the "
+            "hardware-efficiency model" if shared else None
+        ),
     }
     print(json.dumps(out), flush=True)
 
