@@ -59,11 +59,23 @@ def _fused_scan_pallas_dd(
     store_states,
     interpret,
     n_steps,
+    diag_tab=None,
+    flip_tab=None,
+    diag_planes=None,
 ):
     """Scan the df64 Pallas kernel (:mod:`.ops.fused_cheby_dd`) over
     ``n_steps`` uniform intervals.  The state is four f32 planes
     (re_hi, re_lo, im_hi, im_lo) for the whole propagation — reference
-    accuracy (~1e-13/step) without float64 hardware."""
+    accuracy (~1e-13/step) without float64 hardware.
+
+    Time-dependent controls (the reference OC inner loop,
+    ``src/cheby_propagator.jl:243-299``): ``diag_tab``/``flip_tab`` are
+    optional ``(hi, lo)`` pairs of per-interval dd coefficient arrays
+    (shape ``(n_steps,)``).  With ``diag_tab``, ``diag_planes`` carries
+    the unscaled dd diagonal and ``dmb_h/dmb_l`` the dd split of −β;
+    the per-step fold ``c_d(t)·diag − β`` is one barriered df64 pass —
+    coefficients are scanned-over arrays, so control updates never
+    retrace."""
     from .ops.fused_cheby_dd import cheby_step_fused_dd
 
     def merge(state):
@@ -74,10 +86,41 @@ def _fused_scan_pallas_dd(
             )
         return jax.lax.complex(rh + rl, ih + il)
 
-    def step(state, _):
+    xs = {}
+    if diag_tab is not None:
+        xs["cd"] = diag_tab
+    if flip_tab is not None:
+        xs["cf"] = flip_tab
+
+    def step(state, x):
+        if diag_tab is not None:
+            cdh, cdl = x["cd"]
+            if jax.config.jax_enable_x64:
+                d64 = (
+                    diag_planes[0].astype(jnp.float64) + diag_planes[1]
+                ) * (cdh.astype(jnp.float64) + cdl)
+                mb64 = dmb_h.astype(jnp.float64) + dmb_l  # −β planes
+                s64 = d64 + mb64
+                sh = s64.astype(jnp.float32)
+                step_dmb = (sh, (s64 - sh.astype(jnp.float64)).astype(
+                    jnp.float32))
+            else:
+                from .ops.df64 import DD, dd_add, dd_scale
+
+                d = dd_scale(
+                    DD(diag_planes[0], diag_planes[1]), DD(cdh, cdl)
+                )
+                s = dd_add(d, DD(dmb_h, dmb_l))
+                step_dmb = (s.hi, s.lo)
+        else:
+            step_dmb = (dmb_h, dmb_l)
+        fs = None
+        if flip_tab is not None:
+            fs = tuple(x["cf"])
         state = cheby_step_fused_dd(
-            plan, dmb_h, dmb_l, state, c_h, c_l, delta, e_min, dt,
-            forward=forward, interpret=interpret,
+            plan, step_dmb[0], step_dmb[1], state, c_h, c_l,
+            delta, e_min, dt,
+            forward=forward, interpret=interpret, flip_scale=fs,
         )
         if observable_fn is not None:
             out = observable_fn(merge(state))
@@ -87,7 +130,9 @@ def _fused_scan_pallas_dd(
             out = None
         return state, out
 
-    state4, outputs = jax.lax.scan(step, state4, None, length=n_steps)
+    state4, outputs = jax.lax.scan(
+        step, state4, xs if xs else None, length=n_steps
+    )
     return state4, outputs
 
 
@@ -247,28 +292,35 @@ def cheby_propagate_fused(
         raise ValueError(f"unknown kernel={kernel!r}")
     if kernel == "dd":
         # double-float Pallas path: reference accuracy (~1e-13/step) on
-        # f32-only TPUs.  Static operators only — the dd kernel folds
-        # the flip coefficients at trace time.
+        # f32-only TPUs.  Time-dependent amplitudes on the diagonal
+        # and/or flip terms ride per-interval dd coefficient tables —
+        # the OC inner loop (coeffs-only update, zero retracing) at
+        # reference accuracy.
         fs = flip_structure(list(ops))
         if fs is None:
             raise ValueError(
                 "kernel='dd' requires diagonal-plus-site-flip structure"
             )
-        if isinstance(generator, Generator) and generator.amplitudes:
-            raise ValueError(
-                "kernel='dd' supports static operators only (no "
-                "time-dependent amplitudes); use kernel='pallas' or "
-                "'xla' for driven systems"
-            )
         plan, diag, diag_pos, flip_pos = fs
-        c_static = (
-            np.asarray(generator.coeffs, dtype=np.float64)
-            if isinstance(generator, Operator)
-            else np.ones(len(ops))
-        )
+        n_cols = int(np.asarray(coeffs_table).shape[1])
+        off = len(ops) - n_cols
+        diag_col = diag_pos - off if diag_pos >= off else None
+        flip_col = flip_pos - off if flip_pos >= off else None
+        if isinstance(generator, Operator):
+            c_static = np.asarray(generator.coeffs, dtype=np.float64)
+            diag_col = flip_col = None
+        else:
+            c_static = np.ones(len(ops))
+        # full-precision host table (the jnp coeffs_table may be f32)
+        from .models.generators import coeff_table_np
+
+        table64 = np.asarray(coeff_table_np(generator, tlist),
+                             dtype=np.float64)
+        if backward:
+            table64 = table64[::-1]
         diag64 = np.asarray(diag, dtype=np.float64) * c_static[diag_pos]
         g_scale = float(c_static[flip_pos])
-        if g_scale != 1.0:
+        if g_scale != 1.0 and flip_col is None:
             from .ops.fused_cheby import make_flip_plan
 
             plan = make_flip_plan(
@@ -277,13 +329,24 @@ def cheby_propagate_fused(
                 tile_rows=plan.tile_rows,
             )
         beta = float(workspace.delta) / 2.0 + float(workspace.e_min)
-        dmb_h, dmb_l = _dd_split_np(diag64 - beta)
         c64 = np.asarray(workspace.coeffs, dtype=np.float64)
         c_h, c_l = _dd_split_np(c64)
         psi_np = np.asarray(psi0)
         rh, rl = _dd_split_np(psi_np.real)
         ih, il = _dd_split_np(psi_np.imag)
         on_tpu = jax.devices()[0].platform == "tpu"
+        diag_tab = flip_tab = diag_planes = None
+        if diag_col is not None:
+            # dmb planes carry −β; the c_d(t)·diag fold happens in-scan
+            dmb_h, dmb_l = _dd_split_np(
+                np.full(diag64.shape, -beta, dtype=np.float64)
+            )
+            diag_planes = _dd_split_np(diag64)
+            diag_tab = _dd_split_np(table64[:, diag_col])
+        else:
+            dmb_h, dmb_l = _dd_split_np(diag64 - beta)
+        if flip_col is not None:
+            flip_tab = _dd_split_np(table64[:, flip_col])
         state4, outputs = _fused_scan_pallas_dd(
             plan,
             dmb_h,
@@ -299,6 +362,9 @@ def cheby_propagate_fused(
             store_states,
             not on_tpu,
             len(tlist) - 1,
+            diag_tab=diag_tab,
+            flip_tab=flip_tab,
+            diag_planes=diag_planes,
         )
         rh, rl, ih, il = state4
         if jax.config.jax_enable_x64:

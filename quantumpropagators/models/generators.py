@@ -411,6 +411,32 @@ def liouvillian(H=None, c_ops=(), *, convention: str):
 # Coefficient tables (device-friendly time dependence)
 # --------------------------------------------------------------------------
 
+def coeff_table_np(generator, tlist, *, vals_dict=None):
+    """Host-side float64 coefficient table (``(nt-1, n_amplitudes)``
+    numpy array) — full f64 precision regardless of ``jax_enable_x64``
+    (the df64 kernel path dd-splits it; downcasting through a jnp f32
+    array first would lose the lo planes)."""
+    if isinstance(generator, Operator):
+        nt = len(np.asarray(tlist))
+        return np.broadcast_to(
+            np.asarray(generator.coeffs, dtype=np.float64),
+            (nt - 1, len(generator.coeffs)),
+        )
+    if not isinstance(generator, Generator):
+        nt = len(np.asarray(tlist))
+        return np.zeros((nt - 1, 0))
+    tlist = np.asarray(tlist, dtype=np.float64)
+    nt = len(tlist)
+    n_ampl = len(generator.amplitudes)
+    C = np.zeros((nt - 1, n_ampl), dtype=np.complex128)
+    for l, ampl in enumerate(generator.amplitudes):
+        for n in range(nt - 1):
+            C[n, l] = evaluate(ampl, tlist, n, vals_dict=vals_dict)
+    if np.all(C.imag == 0):
+        C = C.real
+    return C
+
+
 def coeff_table(generator, tlist, *, vals_dict=None, dtype=None):
     """Pre-evaluate all amplitudes of ``generator`` on the midpoints of
     ``tlist``.

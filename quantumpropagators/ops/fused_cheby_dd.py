@@ -168,10 +168,21 @@ def _flip_terms(plan: FlipPlan, th, tl):
         )
 
 
-def _h_component(plan, gsplits, uniform, vh, vl, nb, dh, dl):
+def _gs_triple(gs_ref, idx):
+    """Read the pre-split flip scalar ``idx`` from the SMEM table:
+    ``(g1, g2, gl)`` with ``g1 + g2`` the exact f32 hi part (Veltkamp
+    halves) and ``gl`` the f64 residual.  The table is a traced kernel
+    input, so time-dependent flip coefficients cost zero retracing."""
+    g1 = gs_ref[0, 3 * idx]
+    g2 = gs_ref[0, 3 * idx + 1]
+    gl = gs_ref[0, 3 * idx + 2]
+    return g1, g2, gl
+
+
+def _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl):
     """Unnormalized ``H'·v`` for ONE component of v: (p, e) with
-    H' = dmb' + Σ_j G_j·flip_j, dmb' = (dh, dl) planes, G_j the
-    pre-split (folded) flip scalars, ``nb`` a list of
+    H' = dmb' + Σ_j G_j·flip_j, dmb' = (dh, dl) planes, ``gs_ref`` the
+    SMEM table of pre-split (folded) flip scalars, ``nb`` a list of
     ``(gs_index, hi, lo)`` flip contributions supplied as whole planes
     (cross-tile neighbors and, in the sharded step, remote-shard
     planes from ``ppermute``)."""
@@ -199,8 +210,8 @@ def _h_component(plan, gsplits, uniform, vh, vl, nb, dh, dl):
                 Fh, err = _two_sum(Fh, nh)
                 Fc = Fc + err + nl
         if Fh is not None:
-            g1, g2, gl = gsplits[0]
-            gh = np.float32(g1 + g2)
+            g1, g2, gl = _gs_triple(gs_ref, 0)
+            gh = g1 + g2  # exact: Veltkamp halves recombine exactly
             q, qe = _prod_presplit(Fh, g1, g2, gh, gl, xl=Fc)
             p, err = _two_sum(p, q)
             e = e + err + qe
@@ -208,28 +219,28 @@ def _h_component(plan, gsplits, uniform, vh, vl, nb, dh, dl):
         # per-bit pre-split scaling; in-tile bit index == gs index,
         # plane contributions carry their gs index explicitly
         for idx, fh, fl_ in _flip_terms(plan, vh, vl):
-            g1, g2, gl = gsplits[idx]
-            gh = np.float32(g1 + g2)
+            g1, g2, gl = _gs_triple(gs_ref, idx)
+            gh = g1 + g2
             q, qe = _prod_presplit(fh, g1, g2, gh, gl, xl=fl_)
             p, err = _two_sum(p, q)
             e = e + err + qe
         for gidx, nh, nl in nb:
-            g1, g2, gl = gsplits[gidx]
-            gh = np.float32(g1 + g2)
+            g1, g2, gl = _gs_triple(gs_ref, gidx)
+            gh = g1 + g2
             q, qe = _prod_presplit(nh, g1, g2, gh, gl, xl=nl)
             p, err = _two_sum(p, q)
             e = e + err + qe
     return p, e
 
 
-def _iter_component_kernel(plan, gsplits, uniform, n_cross, n_remote,
-                           sign, a_ref, *refs):
+def _iter_component_kernel(plan, uniform, n_cross, n_remote,
+                           sign, a_ref, gs_ref, *refs):
     """One fused dd Chebyshev iteration, ONE output component X:
     ``v2_X = sign·(H'v1)_Y + v0_X``;  ``Φ_X += a_k·v2_X``.
 
     refs: v1y(2), nb(2·n_cross), remote(2·n_remote), dmb(2), v0x(2),
     phix(2) inputs, then outputs v2x(2), phix(2).  ``a_ref`` holds
-    (a_hi, a_lo) in SMEM."""
+    (a_hi, a_lo) in SMEM; ``gs_ref`` the pre-split flip-scalar table."""
     in_tile = plan.L - plan.n_cross
     k = 0
     vh, vl = refs[k][:], refs[k + 1][:]; k += 2
@@ -243,7 +254,7 @@ def _iter_component_kernel(plan, gsplits, uniform, n_cross, n_remote,
     phh, phl = refs[k][:], refs[k + 1][:]; k += 2
     o_v2h, o_v2l, o_phh, o_phl = refs[k:]
 
-    p, e = _h_component(plan, gsplits, uniform, vh, vl, nb, dh, dl)
+    p, e = _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl)
     if sign < 0:
         p, e = -p, -e
     v2h, err = _two_sum(p, v0h)
@@ -266,8 +277,8 @@ def _iter_component_kernel(plan, gsplits, uniform, n_cross, n_remote,
     o_phl[:] = nphl
 
 
-def _first_component_kernel(plan, gsplits, uniform, n_cross, n_remote,
-                            sign, a_ref, *refs):
+def _first_component_kernel(plan, uniform, n_cross, n_remote,
+                            sign, a_ref, gs_ref, *refs):
     """Setup, ONE component X: ``v1_X = sign·0.5·(H'v0)_Y``;
     ``Φ_X = a0·v0_X + a1·v1_X``.  refs: v0y(2), nb(2·n_cross),
     remote(2·n_remote), dmb(2), v0x(2) inputs → outputs v1x(2),
@@ -284,7 +295,7 @@ def _first_component_kernel(plan, gsplits, uniform, n_cross, n_remote,
     v0h, v0l = refs[k][:], refs[k + 1][:]; k += 2
     o_v1h, o_v1l, o_phh, o_phl = refs[k:]
 
-    p, e = _h_component(plan, gsplits, uniform, vh, vl, nb, dh, dl)
+    p, e = _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl)
     half = np.float32(0.5 * sign)
     v1h, v1l = _two_sum(_b(half * p), _b(half * e))  # exact halving + renorm
 
@@ -376,6 +387,7 @@ def cheby_step_fused_dd(
     interpret: bool = False,
     extra_nb_fn=None,
     extra_gs: tuple = (),
+    flip_scale=None,
 ):
     """One dd Chebyshev step ``exp(-i H dt)``,
     ``H = diag + Σ g_j X_j``, on a df64 state.
@@ -393,7 +405,17 @@ def cheby_step_fused_dd(
     4-plane tuple per extra bit, with flip coefficients ``extra_gs``
     (host floats).  The sharded variant uses this for device-index-bit
     flips delivered by ``ppermute``
-    (:mod:`..parallel.sharded_fused`)."""
+    (:mod:`..parallel.sharded_fused`).
+
+    ``flip_scale`` (traced, optional): a ``(hi, lo)`` dd pair of f32
+    scalars multiplying ALL flip coefficients — the time-dependent
+    transverse-field amplitude ``g(t)`` of the reference's OC inner
+    loop (``src/cheby_propagator.jl:243-299``: coefficients change per
+    step, the operator structure does not).  The pre-split scalar table
+    the kernels read is a traced SMEM input, so per-interval control
+    updates cost zero retracing.  Accuracy is preserved: the fold
+    ``G_j = s2·g_j·g(t)`` is computed in df64 and Veltkamp-split with
+    barriered exact ops."""
     _USE_BARRIER[0] = bool(interpret)  # see note above _b
     rh, rl, ih, il = state
     shape = rh.shape
@@ -424,9 +446,41 @@ def cheby_step_fused_dd(
             DD(dmb_h, dmb_l), DD(jnp.float32(s2h), jnp.float32(s2l))
         )
         dmb2_h, dmb2_l = out.hi, out.lo
-    gsplits = tuple(_veltkamp_f64(s2 * float(g)) for g in plan.gs) + tuple(
-        _veltkamp_f64(s2 * float(g)) for g in extra_gs
+    base = np.asarray(
+        [s2 * float(g) for g in plan.gs]
+        + [s2 * float(g) for g in extra_gs],
+        dtype=np.float64,
     )
+    if flip_scale is None:
+        gs_flat = jnp.asarray(
+            np.concatenate([_veltkamp_f64(v) for v in base]),
+            dtype=jnp.float32,
+        ).reshape(1, -1)
+    else:
+        fs_h, fs_l = (jnp.asarray(v, jnp.float32) for v in flip_scale)
+        if _x64_available():
+            g64 = jnp.asarray(base) * (
+                fs_h.astype(jnp.float64) + fs_l.astype(jnp.float64)
+            )
+            ghi = g64.astype(jnp.float32)
+            glo = (g64 - ghi.astype(jnp.float64)).astype(jnp.float32)
+        else:
+            from .df64 import DD, dd_scale as _dd_scale
+
+            bh = jnp.asarray(base.astype(np.float32))
+            bl = jnp.asarray(
+                (base - base.astype(np.float32).astype(np.float64)).astype(
+                    np.float32
+                )
+            )
+            g = _dd_scale(DD(bh, bl), DD(fs_h, fs_l))
+            ghi, glo = g.hi, g.lo
+        # Veltkamp halves of the hi part with barriered exact ops (the
+        # XLA path; Mosaic reads the finished table from SMEM)
+        from .df64 import _split as _xla_split
+
+        g1, g2 = _xla_split(ghi)
+        gs_flat = jnp.stack([g1, g2, glo], axis=1).reshape(1, -1)
 
     vec = _vec_spec(plan.tile_rows)
     out4 = [jax.ShapeDtypeStruct((rows, _LANE), rh.dtype)] * 4
@@ -465,25 +519,26 @@ def cheby_step_fused_dd(
         for pair in remote_y:
             args += list(pair)
         args += list(dmb_planes) + list(v0x) + list(phix)
-        n_in = 1 + len(args)
+        n_in = 2 + len(args)
         phi_base = n_in - 2
         v0_base = n_in - 4
         aliases = {v0_base: 0, v0_base + 1: 1,
                    phi_base: 2, phi_base + 1: 3}
         kern = partial(
-            _iter_component_kernel, plan, gsplits, uniform,
+            _iter_component_kernel, plan, uniform,
             n_cross, n_remote, sgn,
         )
         return pl.pallas_call(
-            lambda a_ref, *r: kern(a_ref, *r),
+            lambda a_ref, gs_ref, *r: kern(a_ref, gs_ref, *r),
             grid=(n_tiles,),
-            in_specs=[_smem_spec(2)] + comp_specs(),
+            in_specs=[_smem_spec(2), _smem_spec(gs_flat.shape[1])]
+            + comp_specs(),
             out_specs=[vec] * 4,
             out_shape=out4,
             input_output_aliases=aliases,
             interpret=interpret,
             **ckw,
-        )(a_k2, *args)
+        )(a_k2, gs_flat, *args)
 
     def run_first_component(sgn, a01, v0y, remote_y, v0x):
         args = list(v0y)
@@ -498,18 +553,18 @@ def cheby_step_fused_dd(
         specs += [vec] * (2 * n_remote)
         specs += [vec] * 4
         kern = partial(
-            _first_component_kernel, plan, gsplits, uniform,
+            _first_component_kernel, plan, uniform,
             n_cross, n_remote, sgn,
         )
         return pl.pallas_call(
-            lambda a_ref, *r: kern(a_ref, *r),
+            lambda a_ref, gs_ref, *r: kern(a_ref, gs_ref, *r),
             grid=(n_tiles,),
-            in_specs=[_smem_spec(4)] + specs,
+            in_specs=[_smem_spec(4), _smem_spec(gs_flat.shape[1])] + specs,
             out_specs=[vec] * 4,
             out_shape=out4,
             interpret=interpret,
             **ckw,
-        )(a01, *args)
+        )(a01, gs_flat, *args)
 
     def planes2(h, l):
         return (h.reshape(-1, _LANE), l.reshape(-1, _LANE))

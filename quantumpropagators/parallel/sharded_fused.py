@@ -191,7 +191,7 @@ def make_sharded_fused_cheby_step_dd(
             ))
         return out
 
-    def _step(dmb_h, dmb_l, state4, c_h, c_l):
+    def _step(dmb_h, dmb_l, state4, c_h, c_l, fs):
         return cheby_step_fused_dd(
             plan_local,
             dmb_h,
@@ -206,6 +206,7 @@ def make_sharded_fused_cheby_step_dd(
             interpret=interpret,
             extra_nb_fn=extra_nb,
             extra_gs=device_gs,
+            flip_scale=(fs[0], fs[1]),
         )
 
     sharded = jax.shard_map(
@@ -213,7 +214,7 @@ def make_sharded_fused_cheby_step_dd(
         mesh=mesh,
         in_specs=(
             P(axis_name), P(axis_name),
-            (P(axis_name),) * 4, P(), P(),
+            (P(axis_name),) * 4, P(), P(), P(),
         ),
         out_specs=(P(axis_name),) * 4,
         # pallas_call outputs carry no varying-mesh-axes metadata
@@ -221,7 +222,18 @@ def make_sharded_fused_cheby_step_dd(
     )
 
     @jax.jit
-    def step(dmb_h, dmb_l, state4, coeffs_h, coeffs_l):
-        return sharded(dmb_h, dmb_l, tuple(state4), coeffs_h, coeffs_l)
+    def step(dmb_h, dmb_l, state4, coeffs_h, coeffs_l, flip_scale=None):
+        """``flip_scale``: optional ``(hi, lo)`` dd pair scaling all
+        flip coefficients — the time-dependent transverse field
+        ``g(t)``, sharded (device-bit flip coefficients scale with it
+        through the same traced SMEM table)."""
+        if flip_scale is None:
+            fs = jnp.asarray([1.0, 0.0], dtype=jnp.float32)
+        else:
+            fs = jnp.stack(
+                [jnp.asarray(flip_scale[0], jnp.float32),
+                 jnp.asarray(flip_scale[1], jnp.float32)]
+            )
+        return sharded(dmb_h, dmb_l, tuple(state4), coeffs_h, coeffs_l, fs)
 
     return step

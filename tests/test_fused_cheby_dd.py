@@ -170,3 +170,63 @@ def test_dd_kernel_via_cheby_propagate_fused():
     psi_dd, _ = cheby_propagate_fused(psi0, op, tlist, kernel="dd", **kw)
     psi_xla, _ = cheby_propagate_fused(psi0, op, tlist, kernel="xla", **kw)
     assert np.abs(np.asarray(psi_dd) - np.asarray(psi_xla)).max() < 1e-12
+
+
+def test_dd_kernel_driven_generator_100_steps():
+    """kernel='dd' with a driven Generator — time-dependent amplitudes
+    on BOTH the diagonal and the flip term — matches the complex128 XLA
+    oracle to 1e-12 over 100 steps (VERDICT r2 item 3: the OC inner
+    loop at reference accuracy; reference
+    ``src/cheby_propagator.jl:243-299`` coeffs-only updates)."""
+    import jax.numpy as jnp
+
+    from quantumpropagators.fused import cheby_propagate_fused
+    from quantumpropagators.models.lattice import transverse_field_ising
+
+    L2 = 10
+    H_diag, H_x = transverse_field_ising(
+        L2, J=J, g=1.0, h=h, dtype=jnp.float64
+    )
+    eps_g = lambda t: 1.2 + 0.4 * np.cos(1.7 * t)   # g(t) ∈ [0.8, 1.6]
+    eps_d = lambda t: 1.0 + 0.3 * np.sin(0.9 * t)   # diagonal drive
+    gen = qp.hamiltonian((H_diag, eps_d), (H_x, eps_g), check=False)
+    rng = np.random.default_rng(21)
+    psi0 = rng.standard_normal(2 ** L2) + 1j * rng.standard_normal(2 ** L2)
+    psi0 = jnp.asarray(psi0 / np.linalg.norm(psi0))
+    n_steps = 100
+    tlist = np.linspace(0.0, 2.0, n_steps + 1)
+    # spectral envelope certified over the control ranges
+    bound = 1.3 * (J * (L2 - 1) + abs(h) * L2) + 1.6 * L2
+    kw = dict(specrange_method="manual", E_min=-bound, E_max=bound)
+    psi_dd, _ = cheby_propagate_fused(psi0, gen, tlist, kernel="dd", **kw)
+    psi_xla, _ = cheby_propagate_fused(psi0, gen, tlist, kernel="xla", **kw)
+    err = np.abs(np.asarray(psi_dd) - np.asarray(psi_xla)).max()
+    assert err < 1e-12, err
+    assert abs(np.linalg.norm(np.asarray(psi_dd)) - 1.0) < 1e-11
+
+
+def test_dd_kernel_driven_flip_only_backward():
+    """Driven flip term only (static diagonal), forward then backward
+    through kernel='dd' returns to the initial state at 1e-12."""
+    import jax.numpy as jnp
+
+    from quantumpropagators.fused import cheby_propagate_fused
+    from quantumpropagators.models.lattice import transverse_field_ising
+
+    L2 = 10
+    H_diag, H_x = transverse_field_ising(
+        L2, J=J, g=1.0, h=h, dtype=jnp.float64
+    )
+    eps_g = lambda t: 1.2 + 0.4 * np.cos(1.7 * t)
+    gen = qp.hamiltonian(H_diag, (H_x, eps_g), check=False)
+    rng = np.random.default_rng(22)
+    psi0 = rng.standard_normal(2 ** L2) + 1j * rng.standard_normal(2 ** L2)
+    psi0 = jnp.asarray(psi0 / np.linalg.norm(psi0))
+    tlist = np.linspace(0.0, 0.5, 11)
+    bound = J * (L2 - 1) + abs(h) * L2 + 1.6 * L2
+    kw = dict(specrange_method="manual", E_min=-bound, E_max=bound)
+    fwd, _ = cheby_propagate_fused(psi0, gen, tlist, kernel="dd", **kw)
+    back, _ = cheby_propagate_fused(
+        jnp.asarray(fwd), gen, tlist, kernel="dd", backward=True, **kw
+    )
+    assert np.abs(np.asarray(back) - np.asarray(psi0)).max() < 1e-12

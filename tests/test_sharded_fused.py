@@ -156,3 +156,56 @@ def test_sharded_fused_dd_step_matches_f64(mesh, problem):
         )
     )
     assert np.abs(z - expected).max() < 1e-12
+
+
+def test_sharded_fused_dd_flip_scale(mesh, problem):
+    """Sharded dd step with a time-dependent flip scale g(t): matches
+    the f64 oracle built at the scaled coupling to 1e-12 (the driven OC
+    inner loop, sharded, at reference accuracy)."""
+    from quantumpropagators.parallel.sharded_fused import (
+        make_sharded_fused_cheby_step_dd,
+    )
+
+    op, diag, psi, e_min, delta = problem
+    dt = 0.06
+    beta = delta / 2 + e_min
+    fs64 = 0.7342915  # g(t)/g at this interval
+
+    def dd_split(x64):
+        x64 = np.asarray(x64, dtype=np.float64)
+        hi = x64.astype(np.float32)
+        return (
+            jnp.asarray(hi),
+            jnp.asarray((x64 - hi.astype(np.float64)).astype(np.float32)),
+        )
+
+    dmb_h, dmb_l = dd_split(np.asarray(diag, np.float64) - beta)
+    c_h, c_l = dd_split(np.asarray(cheby_coeffs(delta, dt)))
+    step = make_sharded_fused_cheby_step_dd(
+        mesh, L, g, delta=delta, e_min=e_min, dt=dt,
+        tile_rows=8, interpret=True,
+    )
+    state4 = tuple(
+        shard_vector(mesh, p)
+        for p in (*dd_split(psi.real), *dd_split(psi.imag))
+    )
+    out = step(
+        shard_vector(mesh, dmb_h), shard_vector(mesh, dmb_l),
+        state4, c_h, c_l, flip_scale=dd_split(fs64),
+    )
+    z = (
+        np.asarray(out[0], np.float64) + np.asarray(out[1], np.float64)
+        + 1j * (np.asarray(out[2], np.float64) + np.asarray(out[3], np.float64))
+    )
+    # oracle: same H but with the flip coupling scaled by fs64
+    H_diag2, H_x2 = transverse_field_ising(
+        L, J=J, g=g * fs64, h=h, dtype=jnp.float64
+    )
+    op2 = qp.Operator([H_diag2, H_x2.grouped(7)], np.array([1.0]))
+    expected = np.asarray(
+        cheby_apply(
+            op2, jnp.asarray(psi), jnp.asarray(cheby_coeffs(delta, dt)),
+            delta, e_min, dt,
+        )
+    )
+    assert np.abs(z - expected).max() < 1e-12
