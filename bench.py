@@ -271,6 +271,49 @@ def bench_optomech():
 
     log("optomech 55-dim (BASELINE config 3):")
     rates = measure(H, batch=4096, n_apply=100, block_size=8)
+
+    # reference-accuracy path: df64 BSR Chebyshev propagation ON the
+    # device, error vs an f64 host oracle (VERDICT r2 item 4)
+    from scipy.linalg import expm
+
+    from quantumpropagators.ops.cheby import cheby_coeffs
+    from quantumpropagators.ops.df64 import CDD, DD, cdd_to_c128
+    from quantumpropagators.ops.df64_sparse import (
+        bsr_dd_from_scipy, cheby_apply_dd_bsr, dd_split_np,
+    )
+
+    H64 = (0.5 * (H + H.T)).astype(np.float64).tocsr()
+    op_dd = bsr_dd_from_scipy(H64, block_size=8)
+    Npad = op_dd.shape[0]
+    evals = np.linalg.eigvalsh(H64.toarray())
+    e_min_o, delta_o = float(evals[0]), float(evals[-1] - evals[0])
+    dt_o = 0.05
+    rng = np.random.default_rng(5)
+    psi = rng.standard_normal(N) + 1j * rng.standard_normal(N)
+    psi /= np.linalg.norm(psi)
+    pp = np.zeros(Npad, complex)
+    pp[:N] = psi
+    coeffs_o = cheby_coeffs(delta_o, dt_o)
+    n_steps_o = 50
+
+    def run_dd():
+        z = CDD(DD(*dd_split_np(pp.real)), DD(*dd_split_np(pp.imag)))
+        for _ in range(n_steps_o):
+            z = cheby_apply_dd_bsr(op_dd, z, coeffs_o, delta_o, e_min_o, dt_o)
+        return cdd_to_c128(z)
+
+    run_dd()  # compile
+    t0 = time.perf_counter()
+    got = run_dd()
+    t_dd = time.perf_counter() - t0
+    exact = expm(-1j * H64.toarray() * dt_o * n_steps_o) @ psi
+    dd_err = float(np.abs(got[:N] - exact).max())
+    dd_gnnz = (
+        n_steps_o * (len(coeffs_o) - 1) * 2 * H64.nnz / t_dd / 1e9
+    )
+    log(f"  df64 BSR cheby on-device: {n_steps_o} steps, "
+        f"err={dd_err:.2e} (contract 1e-10), {dd_gnnz:.3f} Gnnz/s")
+    assert dd_err < 1e-10, dd_err
     # the layout decision at scale: a chain of 1024 coupled 64-level
     # units (dense on-site + dense hopping blocks) at dim 2^16 — the
     # regime where scalar gathers fall out of VMEM and BSR's
@@ -305,6 +348,8 @@ def bench_optomech():
         "unit": "Gnnz/s",
         "vs_baseline": round(rates["bsr"] / rates["csr"], 2),
         "extra": {"gather_csr_gnnzs": round(rates["csr"], 3),
+                  "df64_bsr_cheby_err_50steps": dd_err,
+                  "df64_bsr_cheby_gnnzs": round(dd_gnnz, 4),
                   "batch": 4096, "nnz": int(H.nnz), "dim": N,
                   "scaled_dim": int(H2.shape[0]),
                   "scaled_bsr_gnnzs": round(rates2["bsr"], 3),
@@ -374,6 +419,11 @@ def main():
                     const="planar")
     ap.add_argument("--tile-rows", type=int, default=512,
                     help="Pallas tile rows for the fused kernel")
+    ap.add_argument("--no-oracle", action="store_true",
+                    help="skip the per-step f64 host oracle check")
+    ap.add_argument("--no-fast", action="store_true",
+                    help="disable the dd kernel's sigma-extraction/MXU "
+                         "fast path (A/B comparison)")
     args = ap.parse_args()
 
     if args.suite:
@@ -497,7 +547,7 @@ def main():
                 return (
                     cheby_step_fused_dd(
                         plan, dmb_h, dmb_l, s, cdd_h, cdd_l,
-                        delta, e_min, args.dt,
+                        delta, e_min, args.dt, fast=not args.no_fast,
                     ),
                     None,
                 )
@@ -578,9 +628,12 @@ def main():
     )
 
     # error budget: one kernel step vs an exact float64 host oracle
-    # (the reference contract is 1e-10 total, test/test_cheby.jl:8)
+    # (the reference contract is 1e-10 total, test/test_cheby.jl:8).
+    # Runs at every size (2^24 takes ~2 min of host numpy — the north-
+    # star config must ship with its error budget, VERDICT r2 item 1);
+    # --no-oracle skips it.
     per_step_err = None
-    if args.kernel == "dd" and L <= 20:
+    if args.kernel == "dd" and not args.no_oracle:
         idx = np.arange(N)
         diag_o = (
             ising_diagonal_np(
@@ -598,7 +651,8 @@ def main():
 
         state0 = (re, jnp.zeros_like(re), im, jnp.zeros_like(im))
         s1 = cheby_step_fused_dd(
-            plan, dmb_h, dmb_l, state0, cdd_h, cdd_l, delta, e_min, args.dt
+            plan, dmb_h, dmb_l, state0, cdd_h, cdd_l, delta, e_min,
+            args.dt, fast=not args.no_fast,
         )
         z = (
             np.asarray(s1[0], np.float64) + np.asarray(s1[1], np.float64)

@@ -168,6 +168,79 @@ def _flip_terms(plan: FlipPlan, th, tl):
         )
 
 
+def _xor_roll_rows(t, d):
+    """Exact permutation ``t[i] -> t[i ^ d]`` on the row axis as ONE
+    grouped roll: viewing the rows as ``(R/2d, 2d)`` groups, XOR by
+    ``d`` is a rotation by ``d`` within each group (for i<d: i+d; for
+    i≥d: i−d — exactly the half-swap)."""
+    R, LN = t.shape
+    t3 = t.reshape(R // (2 * d), 2 * d, LN)
+    return jnp.roll(t3, d, axis=1).reshape(R, LN)
+
+
+def _h_component_fast(plan, gs_ref, vh, vl, nb, dh, dl, lane_ref):
+    """Reduced-flop variant of :func:`_h_component` for UNIFORM flip
+    coefficients: two-level σ-extraction aligns the hi plane to a
+    per-tile fixed-point grid, so
+
+    - the 7 lane-bit flip sums ride the MXU **exactly** (sums of
+      grid-aligned values never round: every partial sum is an exact
+      multiple of the grid step, bounded below 2^24 steps), and
+    - the row-bit flip sums become plain adds (exact for the q planes,
+      negligible-error for the residual planes), replacing the per-bit
+      6-flop two_sum cascade,
+
+    cutting the VPU work of the flip accumulation by ~2× (the MXU runs
+    in parallel).  Error analysis: with σ = 64·max|vh| (per tile; rolls
+    stay in-tile so the max covers every summand), q1 values are
+    multiples of ulp(σ)/2 with Σ|q1| ≤ 17·M < σ/2 → exact; residuals
+    r1 ≤ ulp(σ)/2 re-extracted at σ₂ = σ·2⁻¹⁶ → q2 exact likewise;
+    the final residual r2 ≤ M·2⁻³³ and the lo plane are accumulated in
+    plain f32 (lost rounding ~M·2⁻⁵⁰ per element — measured per-step
+    error stays ~1e-16, see bench oracle).  Cross-tile/remote planes
+    (other tiles, other σ) stay on the exact two_sum path."""
+    p = _b(vh * dh)
+    x1, x2 = _split(vh)
+    d1, d2 = _split(dh)
+    e = _b(
+        _b(_b(_b(x1 * d1) - p) + _b(x1 * d2) + _b(x2 * d1)) + _b(x2 * d2)
+    ) + _b(vh * dl) + _b(vl * dh)
+
+    m = jnp.max(jnp.abs(vh))
+    sigma = _b(np.float32(64.0) * m)
+    q1 = _b(_b(sigma + vh) - sigma)
+    r1 = _b(vh - q1)
+    sigma2 = sigma * np.float32(2.0 ** -16)
+    q2 = _b(_b(sigma2 + r1) - sigma2)
+    r2 = _b(r1 - q2)
+
+    A = lane_ref[:]
+    f32 = jnp.float32
+    S1 = jnp.dot(q1, A, preferred_element_type=f32)
+    S2 = jnp.dot(q2, A, preferred_element_type=f32)
+    Sr = _b(
+        jnp.dot(r2, A, preferred_element_type=f32)
+        + jnp.dot(vl, A, preferred_element_type=f32)
+    )
+    for j in range(plan.n_row_bits):
+        d = 1 << j
+        S1 = _b(S1 + _xor_roll_rows(q1, d))   # exact: aligned grid
+        S2 = _b(S2 + _xor_roll_rows(q2, d))   # exact: aligned grid
+        Sr = _b(_b(Sr + _xor_roll_rows(r2, d)) + _xor_roll_rows(vl, d))
+
+    Fh, err = _two_sum(S1, S2)
+    Fc = err + Sr
+    for _gidx, nh, nl in nb:
+        Fh, err = _two_sum(Fh, nh)
+        Fc = Fc + err + nl
+    g1, g2, gl = _gs_triple(gs_ref, 0)
+    gh = g1 + g2  # exact: Veltkamp halves recombine exactly
+    q, qe = _prod_presplit(Fh, g1, g2, gh, gl, xl=Fc)
+    p, err = _two_sum(p, q)
+    e = e + err + qe
+    return p, e
+
+
 def _gs_triple(gs_ref, idx):
     """Read the pre-split flip scalar ``idx`` from the SMEM table:
     ``(g1, g2, gl)`` with ``g1 + g2`` the exact f32 hi part (Veltkamp
@@ -233,7 +306,7 @@ def _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl):
     return p, e
 
 
-def _iter_component_kernel(plan, uniform, n_cross, n_remote,
+def _iter_component_kernel(plan, uniform, fast, n_cross, n_remote,
                            sign, a_ref, gs_ref, *refs):
     """One fused dd Chebyshev iteration, ONE output component X:
     ``v2_X = sign·(H'v1)_Y + v0_X``;  ``Φ_X += a_k·v2_X``.
@@ -243,6 +316,9 @@ def _iter_component_kernel(plan, uniform, n_cross, n_remote,
     (a_hi, a_lo) in SMEM; ``gs_ref`` the pre-split flip-scalar table."""
     in_tile = plan.L - plan.n_cross
     k = 0
+    lane_ref = None
+    if fast:
+        lane_ref = refs[k]; k += 1
     vh, vl = refs[k][:], refs[k + 1][:]; k += 2
     nb = []
     for j in range(n_cross):
@@ -254,7 +330,10 @@ def _iter_component_kernel(plan, uniform, n_cross, n_remote,
     phh, phl = refs[k][:], refs[k + 1][:]; k += 2
     o_v2h, o_v2l, o_phh, o_phl = refs[k:]
 
-    p, e = _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl)
+    if fast:
+        p, e = _h_component_fast(plan, gs_ref, vh, vl, nb, dh, dl, lane_ref)
+    else:
+        p, e = _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl)
     if sign < 0:
         p, e = -p, -e
     v2h, err = _two_sum(p, v0h)
@@ -277,7 +356,7 @@ def _iter_component_kernel(plan, uniform, n_cross, n_remote,
     o_phl[:] = nphl
 
 
-def _first_component_kernel(plan, uniform, n_cross, n_remote,
+def _first_component_kernel(plan, uniform, fast, n_cross, n_remote,
                             sign, a_ref, gs_ref, *refs):
     """Setup, ONE component X: ``v1_X = sign·0.5·(H'v0)_Y``;
     ``Φ_X = a0·v0_X + a1·v1_X``.  refs: v0y(2), nb(2·n_cross),
@@ -285,6 +364,9 @@ def _first_component_kernel(plan, uniform, n_cross, n_remote,
     phix(2)."""
     in_tile = plan.L - plan.n_cross
     k = 0
+    lane_ref = None
+    if fast:
+        lane_ref = refs[k]; k += 1
     vh, vl = refs[k][:], refs[k + 1][:]; k += 2
     nb = []
     for j in range(n_cross):
@@ -295,7 +377,10 @@ def _first_component_kernel(plan, uniform, n_cross, n_remote,
     v0h, v0l = refs[k][:], refs[k + 1][:]; k += 2
     o_v1h, o_v1l, o_phh, o_phl = refs[k:]
 
-    p, e = _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl)
+    if fast:
+        p, e = _h_component_fast(plan, gs_ref, vh, vl, nb, dh, dl, lane_ref)
+    else:
+        p, e = _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl)
     half = np.float32(0.5 * sign)
     v1h, v1l = _two_sum(_b(half * p), _b(half * e))  # exact halving + renorm
 
@@ -339,18 +424,20 @@ def _smem_spec(width):
     return pl.BlockSpec((1, width), lambda i: (0, 0), **kw)
 
 
-def dd_tile_rows(L: int, budget_bytes: int = 24 * 2 ** 20) -> int:
-    """Largest power-of-two tile_rows (≤ 1024) whose component-kernel
-    working set (≈ (16 + 2·n_cross) blocks) fits ``budget_bytes`` of
-    scoped VMEM (the kernel raises the Mosaic cap accordingly; measured
-    optimum at 2^20: tile 1024 / 3 cross bits → 101 Gnnz/s vs 76 at
-    tile 512 / 4 cross bits, flat beyond)."""
+def dd_tile_rows(L: int, budget_bytes: int = 100 * 2 ** 20) -> int:
+    """Largest power-of-two tile_rows (≤ 4096) whose component-kernel
+    working set — ``(12 + 2·n_cross + 4)`` blocks, × 2 for Mosaic's
+    input/output double buffering — fits ``budget_bytes`` of scoped
+    VMEM.  The v5e exposes ~128 MB of VMEM (measured round 3, VMEM
+    probe in docs/benchmarks.md), so large tiles with few cross bits
+    are the right trade: fewer neighbor-plane reads per iteration."""
     rows = 1 << (L - _LANE_BITS)
-    tr = min(1024, rows)
+    tr = min(1024, rows)  # measured optimum (101 Gnnz/s at 2^20); the
+    # fast path's scratch planes make bigger tiles VMEM-marginal
     while tr > 8:
         n_cross = max(0, L - _LANE_BITS - int(np.log2(tr)))
         blocks = 16 + 2 * n_cross
-        if blocks * tr * _LANE * 4 <= budget_bytes:
+        if (2 * blocks + 12) * tr * _LANE * 4 <= budget_bytes:
             return tr
         tr //= 2
     return tr
@@ -369,7 +456,7 @@ def _dd_resplit_f64(x64):
     jax.jit,
     static_argnames=(
         "plan", "delta", "e_min", "dt", "forward", "interpret",
-        "extra_nb_fn", "extra_gs",
+        "extra_nb_fn", "extra_gs", "fast",
     ),
 )
 def cheby_step_fused_dd(
@@ -388,6 +475,7 @@ def cheby_step_fused_dd(
     extra_nb_fn=None,
     extra_gs: tuple = (),
     flip_scale=None,
+    fast: bool = True,
 ):
     """One dd Chebyshev step ``exp(-i H dt)``,
     ``H = diag + Σ g_j X_j``, on a df64 state.
@@ -428,6 +516,8 @@ def cheby_step_fused_dd(
     uniform = len(set(plan.gs) | set(float(g) for g in extra_gs)) == 1
     n_cross = plan.n_cross
     n_remote = len(extra_gs)
+    # σ-extraction + MXU lane path: uniform coefficients only
+    fast = bool(fast) and uniform
 
     # fold s2 into the operator: dmb' = s2·dmb (one pass per step),
     # G_j = s2·g_j exactly in host f64 (both static).  Under x64 (CPU
@@ -483,16 +573,29 @@ def cheby_step_fused_dd(
         gs_flat = jnp.stack([g1, g2, glo], axis=1).reshape(1, -1)
 
     vec = _vec_spec(plan.tile_rows)
+    if fast:
+        from .fused_cheby import _flip_adjacency
+
+        lane01 = jnp.asarray(
+            _flip_adjacency(np.arange(_LANE_BITS), np.ones(_LANE_BITS)),
+            dtype=jnp.float32,
+        )
+        lane_kw = {"memory_space": pltpu.VMEM} if _HAS_PLTPU else {}
+        lane_spec = pl.BlockSpec((_LANE, _LANE), lambda i: (0, 0), **lane_kw)
     out4 = [jax.ShapeDtypeStruct((rows, _LANE), rh.dtype)] * 4
     # raise the scoped-VMEM cap when big tiles need it (fewer cross
     # bits ↔ bigger tiles is a net win; measured 76 → 101 Gnnz/s at
     # 2^20 going from tile 512 to 1024)
     blocks = 12 + 2 * n_cross + 2 * n_remote + 4
-    vmem_need = blocks * plan.tile_rows * _LANE * 4 + (1 << 20)
+    # ×2: Mosaic double-buffers grid-varying blocks; +12 tiles for the
+    # fast path's scratch planes (q1/q2/r2/S1/S2/Sr + rolled temps);
+    # +8 MB headroom.  The chip exposes ~128 MB VMEM (measured; see
+    # docs/benchmarks.md)
+    vmem_need = (2 * blocks + 12) * plan.tile_rows * _LANE * 4 + (8 << 20)
     cparams = (
         pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            vmem_limit_bytes=max(vmem_need, 16 * 2 ** 20),
+            vmem_limit_bytes=min(max(vmem_need, 16 * 2 ** 20), 128 << 20),
         )
         if _HAS_PLTPU and not interpret
         else None
@@ -502,7 +605,8 @@ def cheby_step_fused_dd(
     dmb_planes = (dmb2_h.reshape(-1, _LANE), dmb2_l.reshape(-1, _LANE))
 
     def comp_specs():
-        specs = [vec, vec]
+        specs = [lane_spec] if fast else []
+        specs += [vec, vec]
         for j in range(n_cross):
             # cross bit j is row bit (n_row_bits + j) → tile-index bit j
             specs += [_neighbor_spec(plan.tile_rows, j)] * 2
@@ -513,7 +617,8 @@ def cheby_step_fused_dd(
     def run_iter_component(sgn, a_k2, v1y, remote_y, v0x, phix):
         """v1y/v0x/phix: (hi, lo) plane pairs; remote_y: list of (hi,
         lo) pairs of the Y component from the extra-bit hook."""
-        args = list(v1y)
+        args = [lane01] if fast else []
+        args += list(v1y)
         for _ in range(n_cross):
             args += list(v1y)  # same planes, neighbor-indexed specs
         for pair in remote_y:
@@ -525,7 +630,7 @@ def cheby_step_fused_dd(
         aliases = {v0_base: 0, v0_base + 1: 1,
                    phi_base: 2, phi_base + 1: 3}
         kern = partial(
-            _iter_component_kernel, plan, uniform,
+            _iter_component_kernel, plan, uniform, fast,
             n_cross, n_remote, sgn,
         )
         return pl.pallas_call(
@@ -541,19 +646,21 @@ def cheby_step_fused_dd(
         )(a_k2, gs_flat, *args)
 
     def run_first_component(sgn, a01, v0y, remote_y, v0x):
-        args = list(v0y)
+        args = [lane01] if fast else []
+        args += list(v0y)
         for _ in range(n_cross):
             args += list(v0y)
         for pair in remote_y:
             args += list(pair)
         args += list(dmb_planes) + list(v0x)
-        specs = [vec, vec]
+        specs = [lane_spec] if fast else []
+        specs += [vec, vec]
         for j in range(n_cross):
             specs += [_neighbor_spec(plan.tile_rows, j)] * 2
         specs += [vec] * (2 * n_remote)
         specs += [vec] * 4
         kern = partial(
-            _first_component_kernel, plan, uniform,
+            _first_component_kernel, plan, uniform, fast,
             n_cross, n_remote, sgn,
         )
         return pl.pallas_call(
