@@ -153,12 +153,13 @@ def _roll_flip(t, dist, axis, idx):
 
 def _flip_terms(plan: FlipPlan, th, tl):
     """Yield ``(g_bit_index, f_hi, f_lo)`` for every in-tile bit flip of
-    the dd plane ``(th, tl)`` — exact data movement."""
-    rows_idx = jax.lax.broadcasted_iota(jnp.int32, th.shape, 0)
+    the dd plane ``(th, tl)`` — exact data movement (row bits via the
+    grouped single roll, lane bits via roll+roll+select)."""
     lane_idx = jax.lax.broadcasted_iota(jnp.int32, th.shape, 1)
     for j in range(_LANE_BITS):
         d = 1 << j
         yield j, _roll_flip(th, d, 1, lane_idx), _roll_flip(tl, d, 1, lane_idx)
+    rows_idx = jax.lax.broadcasted_iota(jnp.int32, th.shape, 0)
     for j in range(plan.n_row_bits):
         d = 1 << j
         yield (
@@ -172,33 +173,42 @@ def _xor_roll_rows(t, d):
     """Exact permutation ``t[i] -> t[i ^ d]`` on the row axis as ONE
     grouped roll: viewing the rows as ``(R/2d, 2d)`` groups, XOR by
     ``d`` is a rotation by ``d`` within each group (for i<d: i+d; for
-    i≥d: i−d — exactly the half-swap)."""
+    i≥d: i−d — exactly the half-swap).  Uses the native Mosaic roll in
+    compiled kernels; the jnp fallback in interpret mode."""
     R, LN = t.shape
     t3 = t.reshape(R // (2 * d), 2 * d, LN)
-    return jnp.roll(t3, d, axis=1).reshape(R, LN)
+    if _HAS_PLTPU and not _USE_BARRIER[0]:
+        rolled = pltpu.roll(t3, d, 1)
+    else:
+        rolled = jnp.roll(t3, d, axis=1)
+    return rolled.reshape(R, LN)
 
 
 def _h_component_fast(plan, gs_ref, vh, vl, nb, dh, dl, lane_ref):
     """Reduced-flop variant of :func:`_h_component` for UNIFORM flip
-    coefficients: two-level σ-extraction aligns the hi plane to a
-    per-tile fixed-point grid, so
+    coefficients.  Two-level σ-extraction aligns the hi plane to a
+    per-tile fixed-point grid (σ = 64·max|vh|; rolls stay in-tile so
+    the tile max covers every summand):
 
-    - the 7 lane-bit flip sums ride the MXU **exactly** (sums of
-      grid-aligned values never round: every partial sum is an exact
-      multiple of the grid step, bounded below 2^24 steps), and
-    - the row-bit flip sums become plain adds (exact for the q planes,
-      negligible-error for the residual planes), replacing the per-bit
-      6-flop two_sum cascade,
+    - q1 values are multiples of ulp(σ)/2 with Σ|q1| ≤ 17·M < σ/2, so
+      the 17-term flip sum of q1 is EXACT under plain VPU adds (every
+      partial sum is a representable multiple of the grid step); q2
+      (the re-extraction of the residual at σ₂ = σ·2⁻¹⁶) likewise —
+      this replaces the per-bit 6-flop two_sum cascade with one add;
+    - the remaining tiny planes are merged once, ``w = r2 + lo``
+      (|r2| ≤ M·2⁻³³; merge rounding ~M·2⁻⁴⁸), and accumulated in
+      plain f32: its LANE-bit sum rides one MXU matmul at HIGHEST
+      precision (measured ~2⁻²⁴ relative on this chip — on |w| ~
+      M·2⁻²⁴ that is M·2⁻⁴⁸, inside budget; the MXU is NOT exact even
+      for grid-aligned f32 inputs, measured round 3, so the q planes
+      must NOT ride it);
+    - row-bit flips use the grouped single-roll (``_xor_roll_rows``,
+      measured exact), 1 movement op per plane per bit instead of
+      roll+roll+select.
 
-    cutting the VPU work of the flip accumulation by ~2× (the MXU runs
-    in parallel).  Error analysis: with σ = 64·max|vh| (per tile; rolls
-    stay in-tile so the max covers every summand), q1 values are
-    multiples of ulp(σ)/2 with Σ|q1| ≤ 17·M < σ/2 → exact; residuals
-    r1 ≤ ulp(σ)/2 re-extracted at σ₂ = σ·2⁻¹⁶ → q2 exact likewise;
-    the final residual r2 ≤ M·2⁻³³ and the lo plane are accumulated in
-    plain f32 (lost rounding ~M·2⁻⁵⁰ per element — measured per-step
-    error stays ~1e-16, see bench oracle).  Cross-tile/remote planes
-    (other tiles, other σ) stay on the exact two_sum path."""
+    Cross-tile/remote planes (other tiles, other σ) stay on the exact
+    two_sum path.  Net: ~2× fewer VPU ops in the flip accumulation;
+    measured per-step error stays ~1e-16 (bench oracle)."""
     p = _b(vh * dh)
     x1, x2 = _split(vh)
     d1, d2 = _split(dh)
@@ -212,24 +222,31 @@ def _h_component_fast(plan, gs_ref, vh, vl, nb, dh, dl, lane_ref):
     r1 = _b(vh - q1)
     sigma2 = sigma * np.float32(2.0 ** -16)
     q2 = _b(_b(sigma2 + r1) - sigma2)
-    r2 = _b(r1 - q2)
+    w = _b(_b(r1 - q2) + vl)  # r2 + lo, both ~2^-24·M scale
 
-    A = lane_ref[:]
     f32 = jnp.float32
-    S1 = jnp.dot(q1, A, preferred_element_type=f32)
-    S2 = jnp.dot(q2, A, preferred_element_type=f32)
-    Sr = _b(
-        jnp.dot(r2, A, preferred_element_type=f32)
-        + jnp.dot(vl, A, preferred_element_type=f32)
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, vh.shape, 1)
+    S1 = None
+    S2 = None
+    for j in range(_LANE_BITS):
+        d = 1 << j
+        f1 = _roll_flip(q1, d, 1, lane_idx)
+        f2 = _roll_flip(q2, d, 1, lane_idx)
+        S1 = f1 if S1 is None else _b(S1 + f1)  # exact: aligned grid
+        S2 = f2 if S2 is None else _b(S2 + f2)  # exact: aligned grid
+    # w's 7 lane flips as ONE matmul (HIGHEST ≈ full-f32 emulation)
+    Sw = jnp.dot(
+        w, lane_ref[:], preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     for j in range(plan.n_row_bits):
         d = 1 << j
         S1 = _b(S1 + _xor_roll_rows(q1, d))   # exact: aligned grid
         S2 = _b(S2 + _xor_roll_rows(q2, d))   # exact: aligned grid
-        Sr = _b(_b(Sr + _xor_roll_rows(r2, d)) + _xor_roll_rows(vl, d))
+        Sw = _b(Sw + _xor_roll_rows(w, d))
 
     Fh, err = _two_sum(S1, S2)
-    Fc = err + Sr
+    Fc = err + Sw
     for _gidx, nh, nl in nb:
         Fh, err = _two_sum(Fh, nh)
         Fc = Fc + err + nl
