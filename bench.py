@@ -421,10 +421,25 @@ def main():
                     help="Pallas tile rows for the fused kernel")
     ap.add_argument("--no-oracle", action="store_true",
                     help="skip the per-step f64 host oracle check")
-    ap.add_argument("--no-fast", action="store_true",
-                    help="disable the dd kernel's sigma-extraction/MXU "
-                         "fast path (A/B comparison)")
+    ap.add_argument("--fast", action="store_true", default=False,
+                    help="enable the dd kernel's sigma-extraction/MXU "
+                         "fast path (A/B comparison; measured SLOWER "
+                         "than the two_sum path on this chip — 93 vs "
+                         "107 Gnnz/s at 2^20 — so it is off by default)")
+    ap.add_argument("--no-fast", dest="fast", action="store_false")
+    ap.add_argument("--dd-variant", choices=("twosum", "rows", "sigma"),
+                    default=None,
+                    help="dd kernel flip-accumulation variant (overrides "
+                         "--fast): twosum = exact cascade (default), "
+                         "rows = grouped single-roll row flips, sigma = "
+                         "σ-extraction + MXU lane path")
     args = ap.parse_args()
+
+    dd_fast = args.dd_variant if args.dd_variant else args.fast
+    if dd_fast == "twosum":
+        dd_fast = False
+    if dd_fast == "sigma":
+        dd_fast = True
 
     if args.suite:
         run_suite()
@@ -547,7 +562,7 @@ def main():
                 return (
                     cheby_step_fused_dd(
                         plan, dmb_h, dmb_l, s, cdd_h, cdd_l,
-                        delta, e_min, args.dt, fast=not args.no_fast,
+                        delta, e_min, args.dt, fast=dd_fast,
                     ),
                     None,
                 )
@@ -652,7 +667,7 @@ def main():
         state0 = (re, jnp.zeros_like(re), im, jnp.zeros_like(im))
         s1 = cheby_step_fused_dd(
             plan, dmb_h, dmb_l, state0, cdd_h, cdd_l, delta, e_min,
-            args.dt, fast=not args.no_fast,
+            args.dt, fast=dd_fast,
         )
         z = (
             np.asarray(s1[0], np.float64) + np.asarray(s1[1], np.float64)

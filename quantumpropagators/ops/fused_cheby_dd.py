@@ -151,10 +151,12 @@ def _roll_flip(t, dist, axis, idx):
     )
 
 
-def _flip_terms(plan: FlipPlan, th, tl):
+def _flip_terms(plan: FlipPlan, th, tl, grouped_rows=False):
     """Yield ``(g_bit_index, f_hi, f_lo)`` for every in-tile bit flip of
-    the dd plane ``(th, tl)`` — exact data movement (row bits via the
-    grouped single roll, lane bits via roll+roll+select)."""
+    the dd plane ``(th, tl)`` — exact data movement.  Lane bits use
+    roll+roll+select; row bits use roll+roll+select, or the grouped
+    single roll (:func:`_xor_roll_rows`, 1 movement op per plane per
+    bit instead of 3) when ``grouped_rows``."""
     lane_idx = jax.lax.broadcasted_iota(jnp.int32, th.shape, 1)
     for j in range(_LANE_BITS):
         d = 1 << j
@@ -162,11 +164,18 @@ def _flip_terms(plan: FlipPlan, th, tl):
     rows_idx = jax.lax.broadcasted_iota(jnp.int32, th.shape, 0)
     for j in range(plan.n_row_bits):
         d = 1 << j
-        yield (
-            _LANE_BITS + j,
-            _roll_flip(th, d, 0, rows_idx),
-            _roll_flip(tl, d, 0, rows_idx),
-        )
+        if grouped_rows:
+            yield (
+                _LANE_BITS + j,
+                _xor_roll_rows(th, d),
+                _xor_roll_rows(tl, d),
+            )
+        else:
+            yield (
+                _LANE_BITS + j,
+                _roll_flip(th, d, 0, rows_idx),
+                _roll_flip(tl, d, 0, rows_idx),
+            )
 
 
 def _xor_roll_rows(t, d):
@@ -269,7 +278,19 @@ def _gs_triple(gs_ref, idx):
     return g1, g2, gl
 
 
-def _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl):
+def _variant(fast) -> str:
+    """Normalize the ``fast`` argument: False → "twosum" (the default
+    exact-cascade path), True → "sigma" (σ-extraction + MXU lane path),
+    "rows" → twosum with grouped single-roll row flips."""
+    if fast is True:
+        return "sigma"
+    if not fast:
+        return "twosum"
+    return str(fast)
+
+
+def _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl,
+                 grouped_rows=False):
     """Unnormalized ``H'·v`` for ONE component of v: (p, e) with
     H' = dmb' + Σ_j G_j·flip_j, dmb' = (dh, dl) planes, ``gs_ref`` the
     SMEM table of pre-split (folded) flip scalars, ``nb`` a list of
@@ -287,7 +308,7 @@ def _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl):
     if uniform:
         # raw compensated flip sum, then ONE pre-split scale
         Fh = Fc = None
-        for _, fh, fl_ in _flip_terms(plan, vh, vl):
+        for _, fh, fl_ in _flip_terms(plan, vh, vl, grouped_rows):
             if Fh is None:
                 Fh, Fc = fh, fl_
             else:
@@ -308,7 +329,7 @@ def _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl):
     else:
         # per-bit pre-split scaling; in-tile bit index == gs index,
         # plane contributions carry their gs index explicitly
-        for idx, fh, fl_ in _flip_terms(plan, vh, vl):
+        for idx, fh, fl_ in _flip_terms(plan, vh, vl, grouped_rows):
             g1, g2, gl = _gs_triple(gs_ref, idx)
             gh = g1 + g2
             q, qe = _prod_presplit(fh, g1, g2, gh, gl, xl=fl_)
@@ -323,7 +344,7 @@ def _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl):
     return p, e
 
 
-def _iter_component_kernel(plan, uniform, fast, n_cross, n_remote,
+def _iter_component_kernel(plan, uniform, variant, n_cross, n_remote,
                            sign, a_ref, gs_ref, *refs):
     """One fused dd Chebyshev iteration, ONE output component X:
     ``v2_X = sign·(H'v1)_Y + v0_X``;  ``Φ_X += a_k·v2_X``.
@@ -334,7 +355,7 @@ def _iter_component_kernel(plan, uniform, fast, n_cross, n_remote,
     in_tile = plan.L - plan.n_cross
     k = 0
     lane_ref = None
-    if fast:
+    if variant == "sigma":
         lane_ref = refs[k]; k += 1
     vh, vl = refs[k][:], refs[k + 1][:]; k += 2
     nb = []
@@ -347,10 +368,11 @@ def _iter_component_kernel(plan, uniform, fast, n_cross, n_remote,
     phh, phl = refs[k][:], refs[k + 1][:]; k += 2
     o_v2h, o_v2l, o_phh, o_phl = refs[k:]
 
-    if fast:
+    if variant == "sigma":
         p, e = _h_component_fast(plan, gs_ref, vh, vl, nb, dh, dl, lane_ref)
     else:
-        p, e = _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl)
+        p, e = _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl,
+                            grouped_rows=(variant == "rows"))
     if sign < 0:
         p, e = -p, -e
     v2h, err = _two_sum(p, v0h)
@@ -373,7 +395,7 @@ def _iter_component_kernel(plan, uniform, fast, n_cross, n_remote,
     o_phl[:] = nphl
 
 
-def _first_component_kernel(plan, uniform, fast, n_cross, n_remote,
+def _first_component_kernel(plan, uniform, variant, n_cross, n_remote,
                             sign, a_ref, gs_ref, *refs):
     """Setup, ONE component X: ``v1_X = sign·0.5·(H'v0)_Y``;
     ``Φ_X = a0·v0_X + a1·v1_X``.  refs: v0y(2), nb(2·n_cross),
@@ -382,7 +404,7 @@ def _first_component_kernel(plan, uniform, fast, n_cross, n_remote,
     in_tile = plan.L - plan.n_cross
     k = 0
     lane_ref = None
-    if fast:
+    if variant == "sigma":
         lane_ref = refs[k]; k += 1
     vh, vl = refs[k][:], refs[k + 1][:]; k += 2
     nb = []
@@ -394,10 +416,11 @@ def _first_component_kernel(plan, uniform, fast, n_cross, n_remote,
     v0h, v0l = refs[k][:], refs[k + 1][:]; k += 2
     o_v1h, o_v1l, o_phh, o_phl = refs[k:]
 
-    if fast:
+    if variant == "sigma":
         p, e = _h_component_fast(plan, gs_ref, vh, vl, nb, dh, dl, lane_ref)
     else:
-        p, e = _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl)
+        p, e = _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl,
+                            grouped_rows=(variant == "rows"))
     half = np.float32(0.5 * sign)
     v1h, v1l = _two_sum(_b(half * p), _b(half * e))  # exact halving + renorm
 
@@ -492,7 +515,7 @@ def cheby_step_fused_dd(
     extra_nb_fn=None,
     extra_gs: tuple = (),
     flip_scale=None,
-    fast: bool = True,
+    fast: bool = False,
 ):
     """One dd Chebyshev step ``exp(-i H dt)``,
     ``H = diag + Σ g_j X_j``, on a df64 state.
@@ -533,8 +556,11 @@ def cheby_step_fused_dd(
     uniform = len(set(plan.gs) | set(float(g) for g in extra_gs)) == 1
     n_cross = plan.n_cross
     n_remote = len(extra_gs)
-    # σ-extraction + MXU lane path: uniform coefficients only
-    fast = bool(fast) and uniform
+    variant = _variant(fast)
+    if variant == "sigma" and not uniform:
+        # σ-extraction + MXU lane path: uniform coefficients only
+        variant = "twosum"
+    fast = variant == "sigma"
 
     # fold s2 into the operator: dmb' = s2·dmb (one pass per step),
     # G_j = s2·g_j exactly in host f64 (both static).  Under x64 (CPU
@@ -647,7 +673,7 @@ def cheby_step_fused_dd(
         aliases = {v0_base: 0, v0_base + 1: 1,
                    phi_base: 2, phi_base + 1: 3}
         kern = partial(
-            _iter_component_kernel, plan, uniform, fast,
+            _iter_component_kernel, plan, uniform, variant,
             n_cross, n_remote, sgn,
         )
         return pl.pallas_call(
@@ -677,7 +703,7 @@ def cheby_step_fused_dd(
         specs += [vec] * (2 * n_remote)
         specs += [vec] * 4
         kern = partial(
-            _first_component_kernel, plan, uniform, fast,
+            _first_component_kernel, plan, uniform, variant,
             n_cross, n_remote, sgn,
         )
         return pl.pallas_call(
