@@ -396,7 +396,11 @@ def main():
     ap.add_argument("--suite", action="store_true",
                     help="run all five BASELINE configs (one JSON line "
                          "per config)")
-    ap.add_argument("--L", type=int, default=20)
+    ap.add_argument("--L", type=int, default=None,
+                    help="chain length (2^L states); with no --L / "
+                         "--config / --lattice2d, the default run emits "
+                         "the 2^20 line and then the 2^24 north-star "
+                         "line (the headline the driver records)")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--dt", type=float, default=0.05)
     ap.add_argument("--L-ref", type=int, default=16, help="CPU baseline chain length")
@@ -427,6 +431,11 @@ def main():
                          "than the two_sum path on this chip — 93 vs "
                          "107 Gnnz/s at 2^20 — so it is off by default)")
     ap.add_argument("--no-fast", dest="fast", action="store_false")
+    ap.add_argument("--f32-tail", default="auto",
+                    help="dd kernel: number of tail polynomial orders "
+                         "to run in pure f32 (mixed precision; 'auto' "
+                         "= largest count keeping the per-step budget "
+                         "under 1e-13, '0' = full dd)")
     ap.add_argument("--dd-variant", choices=("twosum", "rows", "sigma"),
                     default=None,
                     help="dd kernel flip-accumulation variant (overrides "
@@ -444,6 +453,18 @@ def main():
     if args.suite:
         run_suite()
         return
+    if args.L is None and args.config is None and args.lattice2d is None:
+        # headline mode (BASELINE north star): 2^20 for continuity with
+        # earlier rounds, then 2^24 LAST — the line the driver parses.
+        import os
+        import subprocess
+
+        here = os.path.abspath(__file__)
+        for extra in (["--L", "20"], ["--L", "24", "--steps", "5"]):
+            subprocess.run([sys.executable, here, *extra], check=True)
+        return
+    if args.L is None:
+        args.L = 20
     if args.config == "rabi":
         bench_rabi()
         return
@@ -529,6 +550,7 @@ def main():
         from quantumpropagators.ops.fused_cheby_dd import (
             cheby_step_fused_dd,
             dd_tile_rows,
+            f32_tail_orders,
         )
 
         tr_dd = args.tile_rows if args.tile_rows != 512 else dd_tile_rows(L)
@@ -551,7 +573,14 @@ def main():
             )
 
         dmb_h, dmb_l = dd_split(diag64 - beta)
-        cdd_h, cdd_l = dd_split(np.asarray(cheby_coeffs(delta, args.dt)))
+        c64_dd = np.asarray(cheby_coeffs(delta, args.dt))
+        cdd_h, cdd_l = dd_split(c64_dd)
+        dd_tail = (
+            f32_tail_orders(c64_dd) if args.f32_tail == "auto"
+            else int(args.f32_tail)
+        )
+        log(f"df64 mixed-precision tail: {dd_tail} of {len(c64_dd)} "
+            f"orders in f32")
 
     @partial(jax.jit, static_argnames=("n_steps",))
     def run(op, re, im, coeffs, n_steps):
@@ -563,6 +592,7 @@ def main():
                     cheby_step_fused_dd(
                         plan, dmb_h, dmb_l, s, cdd_h, cdd_l,
                         delta, e_min, args.dt, fast=dd_fast,
+                        f32_tail=dd_tail,
                     ),
                     None,
                 )
@@ -667,7 +697,7 @@ def main():
         state0 = (re, jnp.zeros_like(re), im, jnp.zeros_like(im))
         s1 = cheby_step_fused_dd(
             plan, dmb_h, dmb_l, state0, cdd_h, cdd_l, delta, e_min,
-            args.dt, fast=dd_fast,
+            args.dt, fast=dd_fast, f32_tail=dd_tail,
         )
         z = (
             np.asarray(s1[0], np.float64) + np.asarray(s1[1], np.float64)

@@ -42,6 +42,7 @@ def _dd_split_np(x64):
     static_argnames=(
         "plan", "delta", "e_min", "dt", "forward",
         "observable_fn", "store_states", "interpret", "n_steps",
+        "f32_tail",
     ),
 )
 def _fused_scan_pallas_dd(
@@ -62,6 +63,7 @@ def _fused_scan_pallas_dd(
     diag_tab=None,
     flip_tab=None,
     diag_planes=None,
+    f32_tail=0,
 ):
     """Scan the df64 Pallas kernel (:mod:`.ops.fused_cheby_dd`) over
     ``n_steps`` uniform intervals.  The state is four f32 planes
@@ -121,6 +123,7 @@ def _fused_scan_pallas_dd(
             plan, step_dmb[0], step_dmb[1], state, c_h, c_l,
             delta, e_min, dt,
             forward=forward, interpret=interpret, flip_scale=fs,
+            f32_tail=f32_tail,
         )
         if observable_fn is not None:
             out = observable_fn(merge(state))
@@ -238,6 +241,7 @@ def cheby_propagate_fused(
     backward: bool = False,
     apply_fn=None,
     kernel: str = "auto",
+    f32_tail="auto",
     **cheby_kwargs,
 ):
     """Propagate ``psi0`` over all of ``tlist`` in one compiled scan.
@@ -331,6 +335,11 @@ def cheby_propagate_fused(
         beta = float(workspace.delta) / 2.0 + float(workspace.e_min)
         c64 = np.asarray(workspace.coeffs, dtype=np.float64)
         c_h, c_l = _dd_split_np(c64)
+        from .ops.fused_cheby_dd import f32_tail_orders
+
+        dd_tail = (
+            f32_tail_orders(c64) if f32_tail == "auto" else int(f32_tail)
+        )
         psi_np = np.asarray(psi0)
         rh, rl = _dd_split_np(psi_np.real)
         ih, il = _dd_split_np(psi_np.imag)
@@ -365,6 +374,7 @@ def cheby_propagate_fused(
             diag_tab=diag_tab,
             flip_tab=flip_tab,
             diag_planes=diag_planes,
+            f32_tail=dd_tail,
         )
         rh, rl, ih, il = state4
         if jax.config.jax_enable_x64:

@@ -60,7 +60,10 @@ except Exception:  # pragma: no cover
 
 from .fused_cheby import FlipPlan, make_flip_plan, _LANE, _LANE_BITS
 
-__all__ = ["cheby_step_fused_dd", "make_flip_plan", "dd_tile_rows"]
+__all__ = [
+    "cheby_step_fused_dd", "make_flip_plan", "dd_tile_rows",
+    "f32_tail_orders",
+]
 
 _SPLIT = np.float32(4097.0)  # 2^12 + 1 for f32 Dekker split
 
@@ -444,6 +447,67 @@ def _first_component_kernel(plan, uniform, variant, n_cross, n_remote,
     o_phl[:] = phl
 
 
+def _tail_component_kernel(plan, n_cross, sign, sc_ref, gs_ref, *refs):
+    """Pure-f32 Chebyshev iteration, ONE output component X (the
+    mixed-precision TAIL: orders whose remaining Φ-weight
+    ``Σ_{j≥k}|a_j|`` is small enough that f32 rounding stays under the
+    per-step budget — see :func:`f32_tail_orders`).  ~10× fewer VPU ops
+    and half the plane traffic of the dd iteration.
+
+    ``v2_X = sign·(H'v1)_Y + v0_X``;  ``Φtail_X += a_k·v2_X`` with
+    H' = s2·(H−β) pre-folded exactly like the dd kernels (same dmb2/G
+    scalars, hi parts only).  refs: lane01, v1y(1), nb(n_cross), dmb(1),
+    v0x(1), phtx(1) inputs → outputs v2x(1), phtx(1)."""
+    lane_ref = refs[0]
+    vh = refs[1][:]
+    nb = [refs[2 + j][:] for j in range(n_cross)]
+    k = 2 + n_cross
+    dh = refs[k][:]
+    v0h = refs[k + 1][:]
+    pht = refs[k + 2][:]
+    o_v2, o_pht = refs[k + 3:]
+
+    ak = sc_ref[0, 0]
+    G = gs_ref[0, 0] + gs_ref[0, 1]  # Veltkamp halves recombine exactly
+
+    # lane flips: ONE MXU matmul with the 0/1 7-bit adjacency.
+    # HIGHEST = full-f32 emulation (~2⁻²⁴ relative, measured): the
+    # tail's own budget is ~3e-7 relative so this is comfortably
+    # inside it; default precision may lower to one-pass bf16 on some
+    # toolchains, which would blow the budget.
+    S = jnp.dot(vh, lane_ref[:], preferred_element_type=vh.dtype,
+                precision=jax.lax.Precision.HIGHEST)
+    for j in range(plan.n_row_bits):
+        S = S + _xor_roll_rows(vh, 1 << j)
+    for nbp in nb:
+        S = S + nbp
+    u = vh * dh + G * S
+    v2 = np.float32(sign) * u + v0h
+    o_v2[:] = v2
+    o_pht[:] = pht + ak * v2
+
+
+def f32_tail_orders(coeffs, per_step_budget: float = 3e-14,
+                    eps32: float = 3e-7) -> int:
+    """Number of TAIL polynomial orders safe to run in pure f32.
+
+    The f32 iteration perturbs ``v_k`` by ~``eps32`` relative per order;
+    a perturbation at order k reaches Φ with total weight
+    ``Σ_{j≥k}|a_j|`` (the Chebyshev recurrence does not amplify,
+    |T_k|≤1).  Returns the largest ``m`` such that orders
+    ``n-m .. n-1`` satisfy ``Σ_{j≥k}|a_j|·eps32 < per_step_budget``
+    — the dd kernels handle orders below, the f32 tail kernel the rest.
+    Mirrors the truncation logic of the reference's coefficient loop
+    (``src/cheby.jl:22-48``) one precision tier down."""
+    a = np.abs(np.asarray(coeffs, dtype=np.float64))
+    tail = np.cumsum(a[::-1])[::-1]
+    n = len(a)
+    k0 = n
+    while k0 > 2 and tail[k0 - 1] * eps32 < per_step_budget:
+        k0 -= 1
+    return n - k0
+
+
 # ---- host-side driver ----------------------------------------------
 
 
@@ -496,7 +560,7 @@ def _dd_resplit_f64(x64):
     jax.jit,
     static_argnames=(
         "plan", "delta", "e_min", "dt", "forward", "interpret",
-        "extra_nb_fn", "extra_gs", "fast",
+        "extra_nb_fn", "extra_gs", "fast", "f32_tail",
     ),
 )
 def cheby_step_fused_dd(
@@ -516,6 +580,7 @@ def cheby_step_fused_dd(
     extra_gs: tuple = (),
     flip_scale=None,
     fast: bool = False,
+    f32_tail: int = 0,
 ):
     """One dd Chebyshev step ``exp(-i H dt)``,
     ``H = diag + Σ g_j X_j``, on a df64 state.
@@ -561,6 +626,13 @@ def cheby_step_fused_dd(
         # σ-extraction + MXU lane path: uniform coefficients only
         variant = "twosum"
     fast = variant == "sigma"
+    # mixed-precision tail (see f32_tail_orders): uniform flip
+    # coefficients only; extra_nb_fn (sharded remote bits) not wired
+    f32_tail = int(f32_tail)
+    if not uniform or extra_nb_fn is not None:
+        f32_tail = 0
+    n_orders = int(coeffs_h.shape[0])
+    f32_tail = max(0, min(f32_tail, n_orders - 3))
 
     # fold s2 into the operator: dmb' = s2·dmb (one pass per step),
     # G_j = s2·g_j exactly in host f64 (both static).  Under x64 (CPU
@@ -616,7 +688,7 @@ def cheby_step_fused_dd(
         gs_flat = jnp.stack([g1, g2, glo], axis=1).reshape(1, -1)
 
     vec = _vec_spec(plan.tile_rows)
-    if fast:
+    if fast or f32_tail:
         from .fused_cheby import _flip_adjacency
 
         lane01 = jnp.asarray(
@@ -752,11 +824,69 @@ def cheby_step_fused_dd(
         v2_im, phi_im = (o[0], o[1]), (o[2], o[3])
         return (v1_re, v1_im, v2_re, v2_im, phi_re, phi_im), None
 
-    (_, _, _, _, phi_re, phi_im), _ = jax.lax.scan(
+    k_dd_end = n_orders - f32_tail  # dd handles orders [2, k_dd_end)
+    (v0_re, v0_im, v1_re, v1_im, phi_re, phi_im), _ = jax.lax.scan(
         body,
         (v0_re, v0_im, v1_re, v1_im, phi_re, phi_im),
-        (coeffs_h[2:], coeffs_l[2:]),
+        (coeffs_h[2:k_dd_end], coeffs_l[2:k_dd_end]),
     )
+
+    pht_re = pht_im = None
+    if f32_tail:
+        # mixed-precision tail: collapse the recurrence to hi-only f32
+        # planes (the merge rounding enters Φ with weight ≤ the tail
+        # sum, inside budget by construction of f32_tail_orders) and
+        # run the remaining orders through the cheap f32 kernel.  The
+        # tail's Φ contribution accumulates in its own f32 planes
+        # (|Σ_{k≥k0} a_k·v_k| is tiny — plain adds are exact enough)
+        # and is folded into the dd Φ once at the end.
+        def merge(pair):
+            return pair[0] + pair[1]
+
+        t_v0_re, t_v0_im = merge(v0_re), merge(v0_im)
+        t_v1_re, t_v1_im = merge(v1_re), merge(v1_im)
+        zero = jnp.zeros_like(t_v0_re)
+        pht_re, pht_im = zero, zero
+
+        tspecs_common = (
+            [lane_spec, vec]
+            + [_neighbor_spec(plan.tile_rows, j) for j in range(n_cross)]
+            + [vec, vec, vec]
+        )
+
+        def run_tail_component(sgn, a_k1, v1y, v0x, phtx):
+            args = [lane01, v1y]
+            args += [v1y] * n_cross  # neighbor-indexed reads
+            args += [dmb_planes[0], v0x, phtx]
+            n_in = 2 + len(args)
+            aliases = {n_in - 2: 0, n_in - 1: 1}
+            kern = partial(
+                _tail_component_kernel, plan, n_cross, sgn,
+            )
+            return pl.pallas_call(
+                lambda a_ref, gs_ref, *r: kern(a_ref, gs_ref, *r),
+                grid=(n_tiles,),
+                in_specs=[_smem_spec(1), _smem_spec(gs_flat.shape[1])]
+                + tspecs_common,
+                out_specs=[vec] * 2,
+                out_shape=[jax.ShapeDtypeStruct((rows, _LANE), rh.dtype)] * 2,
+                input_output_aliases=aliases,
+                interpret=interpret,
+                **ckw,
+            )(a_k1, gs_flat, *args)
+
+        def tail_body(carry, a_k):
+            v0r, v0i, v1r, v1i, pr, pi = carry
+            a_k1 = a_k.reshape(1, 1)
+            v2r, pr = run_tail_component(-1.0, a_k1, v1i, v0r, pr)
+            v2i, pi = run_tail_component(+1.0, a_k1, v1r, v0i, pi)
+            return (v1r, v1i, v2r, v2i, pr, pi), None
+
+        (_, _, _, _, pht_re, pht_im), _ = jax.lax.scan(
+            tail_body,
+            (t_v0_re, t_v0_im, t_v1_re, t_v1_im, pht_re, pht_im),
+            coeffs_h[k_dd_end:],
+        )
 
     # renormalize Φ (deferred through the loop), then the global phase
     # exp(-i β dt).  Under x64 (CPU tests): exact f64 pass; on TPU: one
@@ -765,6 +895,9 @@ def cheby_step_fused_dd(
     if _x64_available():
         zr = phi_re[0].astype(jnp.float64) + phi_re[1].astype(jnp.float64)
         zi = phi_im[0].astype(jnp.float64) + phi_im[1].astype(jnp.float64)
+        if pht_re is not None:
+            zr = zr + pht_re.astype(jnp.float64)
+            zi = zi + pht_im.astype(jnp.float64)
         wr = zr * np.float64(ph.real) - zi * np.float64(ph.imag)
         wi = zr * np.float64(ph.imag) + zi * np.float64(ph.real)
         orh, orl = _dd_resplit_f64(wr)
@@ -777,6 +910,11 @@ def cheby_step_fused_dd(
 
     prh, prl = xla_two_sum(*phi_re)
     pih, pil = xla_two_sum(*phi_im)
+    if pht_re is not None:
+        prh, e = xla_two_sum(prh, pht_re)
+        prl = prl + e
+        pih, e = xla_two_sum(pih, pht_im)
+        pil = pil + e
     phase = CDD(
         DD(*(jnp.float32(v) for v in _split_f64(ph.real))),
         DD(*(jnp.float32(v) for v in _split_f64(ph.imag))),
