@@ -436,7 +436,8 @@ def main():
                          "to run in pure f32 (mixed precision; 'auto' "
                          "= largest count keeping the per-step budget "
                          "under 1e-13, '0' = full dd)")
-    ap.add_argument("--dd-variant", choices=("twosum", "rows", "sigma"),
+    ap.add_argument("--dd-variant",
+                    choices=("twosum", "rows", "sigma", "lomxu"),
                     default=None,
                     help="dd kernel flip-accumulation variant (overrides "
                          "--fast): twosum = exact cascade (default), "

@@ -284,7 +284,8 @@ def _gs_triple(gs_ref, idx):
 def _variant(fast) -> str:
     """Normalize the ``fast`` argument: False → "twosum" (the default
     exact-cascade path), True → "sigma" (σ-extraction + MXU lane path),
-    "rows" → twosum with grouped single-roll row flips."""
+    "rows" → twosum with grouped single-roll row flips, "lomxu" →
+    twosum with the LO plane's lane flips as one MXU HIGHEST matmul."""
     if fast is True:
         return "sigma"
     if not fast:
@@ -293,7 +294,7 @@ def _variant(fast) -> str:
 
 
 def _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl,
-                 grouped_rows=False):
+                 grouped_rows=False, lane_ref=None):
     """Unnormalized ``H'·v`` for ONE component of v: (p, e) with
     H' = dmb' + Σ_j G_j·flip_j, dmb' = (dh, dl) planes, ``gs_ref`` the
     SMEM table of pre-split (folded) flip scalars, ``nb`` a list of
@@ -308,6 +309,38 @@ def _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl,
         _b(_b(_b(x1 * d1) - p) + _b(x1 * d2) + _b(x2 * d1)) + _b(x2 * d2)
     ) + _b(vh * dl) + _b(vl * dh)
 
+    if uniform and lane_ref is not None:
+        # "lomxu": the LO plane's 7 lane flips ride ONE MXU matmul at
+        # HIGHEST (error ≤ ~5.6e-8·|vl| ≈ 3e-15·M — inside the dd
+        # budget); the hi plane stays on the exact two_sum path.
+        lane_idx = jax.lax.broadcasted_iota(jnp.int32, vh.shape, 1)
+        Fh = Fc = None
+        for j in range(_LANE_BITS):
+            d = 1 << j
+            fh = _roll_flip(vh, d, 1, lane_idx)
+            if Fh is None:
+                Fh, Fc = fh, jnp.zeros_like(fh)
+            else:
+                Fh, err = _two_sum(Fh, fh)
+                Fc = Fc + err
+        Fc = Fc + jnp.dot(
+            vl, lane_ref[:], preferred_element_type=vl.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        rows_idx = jax.lax.broadcasted_iota(jnp.int32, vh.shape, 0)
+        for j in range(plan.n_row_bits):
+            d = 1 << j
+            Fh, err = _two_sum(Fh, _roll_flip(vh, d, 0, rows_idx))
+            Fc = Fc + err + _roll_flip(vl, d, 0, rows_idx)
+        for _, nh, nl in nb:
+            Fh, err = _two_sum(Fh, nh)
+            Fc = Fc + err + nl
+        g1, g2, gl = _gs_triple(gs_ref, 0)
+        gh = g1 + g2
+        q, qe = _prod_presplit(Fh, g1, g2, gh, gl, xl=Fc)
+        p, err = _two_sum(p, q)
+        e = e + err + qe
+        return p, e
     if uniform:
         # raw compensated flip sum, then ONE pre-split scale
         Fh = Fc = None
@@ -358,7 +391,7 @@ def _iter_component_kernel(plan, uniform, variant, n_cross, n_remote,
     in_tile = plan.L - plan.n_cross
     k = 0
     lane_ref = None
-    if variant == "sigma":
+    if variant in ("sigma", "lomxu"):
         lane_ref = refs[k]; k += 1
     vh, vl = refs[k][:], refs[k + 1][:]; k += 2
     nb = []
@@ -375,7 +408,8 @@ def _iter_component_kernel(plan, uniform, variant, n_cross, n_remote,
         p, e = _h_component_fast(plan, gs_ref, vh, vl, nb, dh, dl, lane_ref)
     else:
         p, e = _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl,
-                            grouped_rows=(variant == "rows"))
+                            grouped_rows=(variant == "rows"),
+                            lane_ref=lane_ref)
     if sign < 0:
         p, e = -p, -e
     v2h, err = _two_sum(p, v0h)
@@ -407,7 +441,7 @@ def _first_component_kernel(plan, uniform, variant, n_cross, n_remote,
     in_tile = plan.L - plan.n_cross
     k = 0
     lane_ref = None
-    if variant == "sigma":
+    if variant in ("sigma", "lomxu"):
         lane_ref = refs[k]; k += 1
     vh, vl = refs[k][:], refs[k + 1][:]; k += 2
     nb = []
@@ -423,7 +457,8 @@ def _first_component_kernel(plan, uniform, variant, n_cross, n_remote,
         p, e = _h_component_fast(plan, gs_ref, vh, vl, nb, dh, dl, lane_ref)
     else:
         p, e = _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl,
-                            grouped_rows=(variant == "rows"))
+                            grouped_rows=(variant == "rows"),
+                            lane_ref=lane_ref)
     half = np.float32(0.5 * sign)
     v1h, v1l = _two_sum(_b(half * p), _b(half * e))  # exact halving + renorm
 
@@ -622,10 +657,10 @@ def cheby_step_fused_dd(
     n_cross = plan.n_cross
     n_remote = len(extra_gs)
     variant = _variant(fast)
-    if variant == "sigma" and not uniform:
-        # σ-extraction + MXU lane path: uniform coefficients only
+    if variant in ("sigma", "lomxu") and not uniform:
+        # σ-extraction / lo-MXU lane paths: uniform coefficients only
         variant = "twosum"
-    fast = variant == "sigma"
+    fast = variant in ("sigma", "lomxu")
     # mixed-precision tail (see f32_tail_orders): uniform flip
     # coefficients only; extra_nb_fn (sharded remote bits) not wired
     f32_tail = int(f32_tail)

@@ -230,3 +230,31 @@ def test_dd_kernel_driven_flip_only_backward():
         jnp.asarray(fwd), gen, tlist, kernel="dd", backward=True, **kw
     )
     assert np.abs(np.asarray(back) - np.asarray(psi0)).max() < 1e-12
+
+
+def test_dd_f32_tail(problem):
+    """Mixed-precision tail (late orders in pure f32,
+    :func:`f32_tail_orders`): error stays under the per-step budget
+    the split was chosen for — the reference 1e-10 contract over 1000
+    steps has ~3e-14/step headroom."""
+    from quantumpropagators.ops.fused_cheby_dd import f32_tail_orders
+
+    op, diag64, psi, e_min, delta = problem
+    dt = 0.04  # few coefficients: keeps interpret mode cheap
+    c64 = cheby_coeffs(delta, dt)
+    tail = f32_tail_orders(c64, per_step_budget=1e-12)
+    assert 0 < tail <= len(c64) - 3
+    c_h, c_l = dd_split(c64)
+    plan = make_flip_plan(L, g, tile_rows=16)
+    dmb_h, dmb_l = _dmb(diag64, delta, e_min)
+    state = (*dd_split(psi.real), *dd_split(psi.imag))
+    out = cheby_step_fused_dd(
+        plan, dmb_h, dmb_l, state, c_h, c_l, delta, e_min, dt,
+        interpret=True, f32_tail=tail,
+    )
+    exact = np.asarray(
+        cheby_apply(
+            op, jnp.asarray(psi), jnp.asarray(c64), delta, e_min, dt,
+        )
+    )
+    assert np.abs(merge(out) - exact).max() < 1e-12
