@@ -425,11 +425,10 @@ def main():
                     help="Pallas tile rows for the fused kernel")
     ap.add_argument("--no-oracle", action="store_true",
                     help="skip the per-step f64 host oracle check")
-    ap.add_argument("--fast", action="store_true", default=False,
+    ap.add_argument("--fast", action="store_true", default="lomxu",
                     help="enable the dd kernel's sigma-extraction/MXU "
                          "fast path (A/B comparison; measured SLOWER "
-                         "than the two_sum path on this chip — 93 vs "
-                         "107 Gnnz/s at 2^20 — so it is off by default)")
+                         "than the default lomxu variant)")
     ap.add_argument("--no-fast", dest="fast", action="store_false")
     ap.add_argument("--f32-tail", default="auto",
                     help="dd kernel: number of tail polynomial orders "
@@ -437,7 +436,7 @@ def main():
                          "= largest count keeping the per-step budget "
                          "under 1e-13, '0' = full dd)")
     ap.add_argument("--dd-variant",
-                    choices=("twosum", "rows", "sigma", "lomxu"),
+                    choices=("twosum", "rows", "sigma", "lomxu", "tlane"),
                     default=None,
                     help="dd kernel flip-accumulation variant (overrides "
                          "--fast): twosum = exact cascade (default), "

@@ -282,10 +282,12 @@ def _gs_triple(gs_ref, idx):
 
 
 def _variant(fast) -> str:
-    """Normalize the ``fast`` argument: False → "twosum" (the default
-    exact-cascade path), True → "sigma" (σ-extraction + MXU lane path),
-    "rows" → twosum with grouped single-roll row flips, "lomxu" →
-    twosum with the LO plane's lane flips as one MXU HIGHEST matmul."""
+    """Normalize the ``fast`` argument: "lomxu" (the default — twosum
+    with the LO plane's lane flips as one MXU HIGHEST matmul; measured
+    fastest at every size), False → "twosum" (pure exact cascade),
+    True → "sigma" (σ-extraction + MXU lane path), "rows" → twosum
+    with grouped single-roll row flips, "tlane" → lomxu with the HI
+    plane's lane flips via transpose + sublane rolls."""
     if fast is True:
         return "sigma"
     if not fast:
@@ -294,7 +296,7 @@ def _variant(fast) -> str:
 
 
 def _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl,
-                 grouped_rows=False, lane_ref=None):
+                 grouped_rows=False, lane_ref=None, tlane=False):
     """Unnormalized ``H'·v`` for ONE component of v: (p, e) with
     H' = dmb' + Σ_j G_j·flip_j, dmb' = (dh, dl) planes, ``gs_ref`` the
     SMEM table of pre-split (folded) flip scalars, ``nb`` a list of
@@ -313,16 +315,37 @@ def _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl,
         # "lomxu": the LO plane's 7 lane flips ride ONE MXU matmul at
         # HIGHEST (error ≤ ~5.6e-8·|vl| ≈ 3e-15·M — inside the dd
         # budget); the hi plane stays on the exact two_sum path.
-        lane_idx = jax.lax.broadcasted_iota(jnp.int32, vh.shape, 1)
-        Fh = Fc = None
-        for j in range(_LANE_BITS):
-            d = 1 << j
-            fh = _roll_flip(vh, d, 1, lane_idx)
-            if Fh is None:
-                Fh, Fc = fh, jnp.zeros_like(fh)
-            else:
-                Fh, err = _two_sum(Fh, fh)
-                Fc = Fc + err
+        # "tlane" additionally moves the HI plane's lane flips to the
+        # sublane axis via an exact transpose (lane-axis rolls are
+        # ~10× a VPU op on this chip — measured: removing the lo
+        # plane's lane rolls alone bought +38%), accumulating in
+        # transposed space and transposing the (sum, compensation)
+        # pair back — transposes are pure data movement, so the
+        # two_sum cascade stays error-free.
+        if tlane:
+            vh_t = vh.T
+            idx_t = jax.lax.broadcasted_iota(jnp.int32, vh_t.shape, 0)
+            Fh_t = Fc_t = None
+            for j in range(_LANE_BITS):
+                d = 1 << j
+                f = _roll_flip(vh_t, d, 0, idx_t)
+                if Fh_t is None:
+                    Fh_t, Fc_t = f, jnp.zeros_like(f)
+                else:
+                    Fh_t, err = _two_sum(Fh_t, f)
+                    Fc_t = Fc_t + err
+            Fh, Fc = Fh_t.T, Fc_t.T
+        else:
+            lane_idx = jax.lax.broadcasted_iota(jnp.int32, vh.shape, 1)
+            Fh = Fc = None
+            for j in range(_LANE_BITS):
+                d = 1 << j
+                fh = _roll_flip(vh, d, 1, lane_idx)
+                if Fh is None:
+                    Fh, Fc = fh, jnp.zeros_like(fh)
+                else:
+                    Fh, err = _two_sum(Fh, fh)
+                    Fc = Fc + err
         Fc = Fc + jnp.dot(
             vl, lane_ref[:], preferred_element_type=vl.dtype,
             precision=jax.lax.Precision.HIGHEST,
@@ -391,7 +414,7 @@ def _iter_component_kernel(plan, uniform, variant, n_cross, n_remote,
     in_tile = plan.L - plan.n_cross
     k = 0
     lane_ref = None
-    if variant in ("sigma", "lomxu"):
+    if variant in ("sigma", "lomxu", "tlane"):
         lane_ref = refs[k]; k += 1
     vh, vl = refs[k][:], refs[k + 1][:]; k += 2
     nb = []
@@ -409,7 +432,8 @@ def _iter_component_kernel(plan, uniform, variant, n_cross, n_remote,
     else:
         p, e = _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl,
                             grouped_rows=(variant == "rows"),
-                            lane_ref=lane_ref)
+                            lane_ref=lane_ref,
+                            tlane=(variant == "tlane"))
     if sign < 0:
         p, e = -p, -e
     v2h, err = _two_sum(p, v0h)
@@ -441,7 +465,7 @@ def _first_component_kernel(plan, uniform, variant, n_cross, n_remote,
     in_tile = plan.L - plan.n_cross
     k = 0
     lane_ref = None
-    if variant in ("sigma", "lomxu"):
+    if variant in ("sigma", "lomxu", "tlane"):
         lane_ref = refs[k]; k += 1
     vh, vl = refs[k][:], refs[k + 1][:]; k += 2
     nb = []
@@ -458,7 +482,8 @@ def _first_component_kernel(plan, uniform, variant, n_cross, n_remote,
     else:
         p, e = _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl,
                             grouped_rows=(variant == "rows"),
-                            lane_ref=lane_ref)
+                            lane_ref=lane_ref,
+                            tlane=(variant == "tlane"))
     half = np.float32(0.5 * sign)
     v1h, v1l = _two_sum(_b(half * p), _b(half * e))  # exact halving + renorm
 
@@ -614,7 +639,7 @@ def cheby_step_fused_dd(
     extra_nb_fn=None,
     extra_gs: tuple = (),
     flip_scale=None,
-    fast: bool = False,
+    fast="lomxu",
     f32_tail: int = 0,
 ):
     """One dd Chebyshev step ``exp(-i H dt)``,
@@ -657,10 +682,10 @@ def cheby_step_fused_dd(
     n_cross = plan.n_cross
     n_remote = len(extra_gs)
     variant = _variant(fast)
-    if variant in ("sigma", "lomxu") and not uniform:
+    if variant in ("sigma", "lomxu", "tlane") and not uniform:
         # σ-extraction / lo-MXU lane paths: uniform coefficients only
         variant = "twosum"
-    fast = variant in ("sigma", "lomxu")
+    fast = variant in ("sigma", "lomxu", "tlane")
     # mixed-precision tail (see f32_tail_orders): uniform flip
     # coefficients only; extra_nb_fn (sharded remote bits) not wired
     f32_tail = int(f32_tail)
