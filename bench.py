@@ -379,7 +379,7 @@ def run_suite():
         (["--config", "transmon"], cpu_env),
         (["--config", "optomech"], None),
         (["--L", "20", "--kernel", "dd"], None),
-        (["--lattice2d", "4x6", "--kernel", "dd"], None),
+        (["--lattice2d", "4x6", "--kernel", "dd", "--steps", "5"], None),
     ]
     for extra, env in jobs:
         subprocess.run(
