@@ -426,9 +426,11 @@ def main():
     ap.add_argument("--no-oracle", action="store_true",
                     help="skip the per-step f64 host oracle check")
     ap.add_argument("--fast", action="store_true", default="lomxu",
-                    help="enable the dd kernel's sigma-extraction/MXU "
-                         "fast path (A/B comparison; measured SLOWER "
-                         "than the default lomxu variant)")
+                    help="select the dd kernel's sigma-extraction/MXU "
+                         "path (A/B comparison; measured SLOWER than "
+                         "the default lomxu variant).  Default (neither "
+                         "--fast nor --no-fast): lomxu.  --no-fast "
+                         "selects the pure twosum exact cascade")
     ap.add_argument("--no-fast", dest="fast", action="store_false")
     ap.add_argument("--f32-tail", default="auto",
                     help="dd kernel: number of tail polynomial orders "
@@ -439,9 +441,12 @@ def main():
                     choices=("twosum", "rows", "sigma", "lomxu", "tlane"),
                     default=None,
                     help="dd kernel flip-accumulation variant (overrides "
-                         "--fast): twosum = exact cascade (default), "
+                         "--fast): lomxu = lo-plane lane flips via one "
+                         "MXU HIGHEST matmul (DEFAULT, fastest at every "
+                         "measured size), twosum = pure exact cascade, "
                          "rows = grouped single-roll row flips, sigma = "
-                         "σ-extraction + MXU lane path")
+                         "σ-extraction + MXU lane path, tlane = lomxu + "
+                         "transposed hi-plane lane flips")
     args = ap.parse_args()
 
     dd_fast = args.dd_variant if args.dd_variant else args.fast
@@ -456,12 +461,21 @@ def main():
     if args.L is None and args.config is None and args.lattice2d is None:
         # headline mode (BASELINE north star): 2^20 for continuity with
         # earlier rounds, then 2^24 LAST — the line the driver parses.
+        # User-passed tuning flags (--dd-variant, --f32-tail, ...) are
+        # forwarded to both sub-invocations so A/B runs stay labeled
+        # correctly; only --L/--steps are forced per size.
         import os
         import subprocess
 
         here = os.path.abspath(__file__)
+        # argparse takes the LAST occurrence, so appending the forced
+        # flags after the user's keeps the override while every other
+        # user flag survives (user cannot have passed --L here).
+        passthrough = list(sys.argv[1:])
         for extra in (["--L", "20"], ["--L", "24", "--steps", "5"]):
-            subprocess.run([sys.executable, here, *extra], check=True)
+            subprocess.run(
+                [sys.executable, here, *passthrough, *extra], check=True
+            )
         return
     if args.L is None:
         args.L = 20

@@ -141,6 +141,99 @@ def _fused_scan_pallas_dd(
 
 @partial(
     jax.jit,
+    static_argnames=(
+        "plan", "delta", "e_min", "dt", "forward",
+        "observable_fn", "store_states", "interpret", "n_steps",
+    ),
+)
+def _fused_scan_pallas_dd_multi(
+    plan,
+    dmb_h,
+    dmb_l,
+    diag_planes,
+    diag_tab,
+    flip_tab,
+    state4,
+    c_h,
+    c_l,
+    delta,
+    e_min,
+    dt,
+    forward,
+    observable_fn,
+    store_states,
+    interpret,
+    n_steps,
+):
+    """Multi-amplitude dd scan: the reference's ``Ĥ₀ + Σₗ aₗ(t)Ĥₗ``
+    (``src/generators.jl:44-61``) with ANY number of independently
+    driven diagonal terms and site-flip groups, at df64 accuracy.
+
+    ``diag_planes``: tuple of ``(hi, lo)`` dd pairs — the dynamic
+    diagonal terms; ``diag_tab``: ``(hi, lo)`` of ``(n_steps, n_dyn)``
+    per-interval coefficients (columns align with ``diag_planes``);
+    ``dmb_h/dmb_l``: the static part ``Σ_static diag − β``;
+    ``flip_tab``: ``(hi, lo)`` of ``(n_steps, n_bits)`` PER-BIT folded
+    flip coefficients ``G_j(t) = Σ_l c_l(t)·g_{l,j}`` (groups may
+    overlap).  All tables are traced arrays — control updates in an OC
+    loop never retrace."""
+    from .ops.fused_cheby_dd import cheby_step_fused_dd
+
+    def merge(state):
+        rh, rl, ih, il = state
+        if jax.config.jax_enable_x64:
+            return (rh.astype(jnp.float64) + rl) + 1j * (
+                ih.astype(jnp.float64) + il
+            )
+        return jax.lax.complex(rh + rl, ih + il)
+
+    xs = {"cf": flip_tab}
+    if diag_planes:
+        xs["cd"] = diag_tab
+
+    def step(state, x):
+        if diag_planes:
+            cdh, cdl = x["cd"]  # (n_dyn,) per-interval dd coefficients
+            if jax.config.jax_enable_x64:
+                s64 = dmb_h.astype(jnp.float64) + dmb_l
+                for i, (dh, dl) in enumerate(diag_planes):
+                    s64 = s64 + (dh.astype(jnp.float64) + dl) * (
+                        cdh[i].astype(jnp.float64) + cdl[i]
+                    )
+                sh = s64.astype(jnp.float32)
+                step_dmb = (
+                    sh, (s64 - sh.astype(jnp.float64)).astype(jnp.float32)
+                )
+            else:
+                from .ops.df64 import DD, dd_add, dd_scale
+
+                s = DD(dmb_h, dmb_l)
+                for i, (dh, dl) in enumerate(diag_planes):
+                    s = dd_add(
+                        s, dd_scale(DD(dh, dl), DD(cdh[i], cdl[i]))
+                    )
+                step_dmb = (s.hi, s.lo)
+        else:
+            step_dmb = (dmb_h, dmb_l)
+        state = cheby_step_fused_dd(
+            plan, step_dmb[0], step_dmb[1], state, c_h, c_l,
+            delta, e_min, dt,
+            forward=forward, interpret=interpret,
+            flip_scale=tuple(x["cf"]), f32_tail=0,
+        )
+        if observable_fn is not None:
+            out = observable_fn(merge(state))
+        elif store_states:
+            out = merge(state)
+        else:
+            out = None
+        return state, out
+
+    return jax.lax.scan(step, state4, xs, length=n_steps)
+
+
+@partial(
+    jax.jit,
     static_argnames=("forward", "observable_fn", "store_states", "apply_fn"),
 )
 def _fused_scan(
@@ -229,6 +322,103 @@ def _fused_scan_pallas(
     return jax.lax.complex(re, im), outputs
 
 
+def _dd_multi_path(fsm, generator, ops, psi0, tlist, workspace, backward,
+                   observable_fn, store_states):
+    """Drive :func:`_fused_scan_pallas_dd_multi` from a detected
+    multi-term structure: host-side f64 folding of the per-interval
+    coefficient tables into (a) the static ``Σ diag − β`` dd planes,
+    (b) per-term dynamic diagonal tables, and (c) the per-bit flip
+    table ``G_j(t_k)``."""
+    from .models.generators import coeff_table_np
+    from .ops.fused_cheby import make_flip_plan
+    from .ops.fused_cheby_dd import dd_tile_rows
+
+    L, diag_terms, flip_terms = fsm
+    n_steps = len(tlist) - 1
+    n_ops = len(ops)
+    if isinstance(generator, Operator):
+        cst = np.asarray(generator.coeffs, dtype=np.float64)
+        offc = n_ops - len(cst)
+
+        def series(pos):
+            v = 1.0 if pos < offc else float(cst[pos - offc])
+            return np.full(n_steps, v, dtype=np.float64)
+
+        static_pos = set(range(n_ops))
+    else:
+        table64 = np.asarray(coeff_table_np(generator, tlist),
+                             dtype=np.float64)
+        if backward:
+            table64 = table64[::-1]
+        off = n_ops - table64.shape[1]
+
+        def series(pos):
+            if pos < off:
+                return np.ones(n_steps, dtype=np.float64)
+            return table64[:, pos - off]
+
+        static_pos = set(range(off))
+
+    beta = float(workspace.delta) / 2.0 + float(workspace.e_min)
+    dt = workspace.dt if not backward else -workspace.dt
+
+    # static diagonal fold (host f64): Σ_static c·diag − β
+    dmb64 = np.full(2 ** L, -beta, dtype=np.float64)
+    diag_planes = []
+    diag_cols = []
+    for pos, diag64 in diag_terms:
+        if pos in static_pos:
+            dmb64 = dmb64 + series(pos)[0] * diag64
+        else:
+            diag_planes.append(_dd_split_np(diag64))
+            diag_cols.append(series(pos))
+    dmb_h, dmb_l = _dd_split_np(dmb64)
+    diag_tab = None
+    if diag_planes:
+        diag_tab = _dd_split_np(np.stack(diag_cols, axis=1))
+
+    # per-bit flip table: G_j(t_k) = Σ_l c_l(t_k)·g_{l,j}
+    Gbits64 = np.zeros((n_steps, L), dtype=np.float64)
+    for pos, gs_bits in flip_terms:
+        Gbits64 = Gbits64 + np.outer(series(pos), gs_bits)
+    flip_tab = _dd_split_np(Gbits64)
+
+    plan = make_flip_plan(L, 1.0, tile_rows=dd_tile_rows(L))
+    c64 = np.asarray(workspace.coeffs, dtype=np.float64)
+    c_h, c_l = _dd_split_np(c64)
+    psi_np = np.asarray(psi0)
+    rh, rl = _dd_split_np(psi_np.real)
+    ih, il = _dd_split_np(psi_np.imag)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    state4, outputs = _fused_scan_pallas_dd_multi(
+        plan,
+        dmb_h,
+        dmb_l,
+        tuple(diag_planes),
+        diag_tab,
+        flip_tab,
+        (rh, rl, ih, il),
+        c_h,
+        c_l,
+        float(workspace.delta),
+        float(workspace.e_min),
+        float(dt),
+        not backward,
+        observable_fn,
+        store_states,
+        not on_tpu,
+        n_steps,
+    )
+    rh, rl, ih, il = state4
+    if jax.config.jax_enable_x64:
+        psi_final = (rh.astype(jnp.float64) + rl) + 1j * (
+            ih.astype(jnp.float64) + il
+        )
+    else:
+        psi_final = jax.lax.complex(rh + rl, ih + il)
+    return psi_final, outputs
+
+
 def cheby_propagate_fused(
     psi0,
     generator,
@@ -260,6 +450,17 @@ def cheby_propagate_fused(
     requires diagonal-plus-site-flip structure, see
     :func:`~.ops.fused_cheby.flip_structure`), or ``"auto"`` (pallas
     when the structure matches and a TPU is present, else xla).
+
+    ``f32_tail`` (``kernel="dd"`` only) controls the mixed-precision
+    tail: the LAST ``m`` polynomial orders of each step run through the
+    cheap pure-f32 kernel instead of the double-float one.  ``"auto"``
+    (default) picks the largest ``m`` whose recurrence-sensitivity-
+    weighted error bound stays under a 3e-14 per-step budget — two
+    orders of magnitude inside the reference's 1e-10/1000-step
+    contract, and measured at ~1e-16/step on-chip — via
+    :func:`~.ops.fused_cheby_dd.f32_tail_orders`; ``0`` forces full
+    double-float at every order; an explicit integer ``m`` overrides
+    the bound (A/B benchmarking only — accuracy is then YOUR budget).
     """
     tlist = np.asarray(tlist, dtype=np.float64)
     if isinstance(generator, tuple):
@@ -300,10 +501,24 @@ def cheby_propagate_fused(
         # and/or flip terms ride per-interval dd coefficient tables —
         # the OC inner loop (coeffs-only update, zero retracing) at
         # reference accuracy.
-        fs = flip_structure(list(ops))
+        fs = flip_structure(list(ops)) if len(ops) == 2 else None
         if fs is None:
-            raise ValueError(
-                "kernel='dd' requires diagonal-plus-site-flip structure"
+            # multi-amplitude generators: Ĥ₀ + Σₗ aₗ(t)Ĥₗ with any
+            # number of diagonal terms / independently-driven flip
+            # groups (reference src/generators.jl:44-61) — per-bit
+            # folded coefficient tables through the dd kernel
+            from .ops.fused_cheby import flip_structure_multi
+
+            fsm = flip_structure_multi(list(ops))
+            if fsm is None:
+                raise ValueError(
+                    "kernel='dd' requires diagonal-plus-site-flip "
+                    "structure (DiagonalOperator / X-type "
+                    "SiteOperatorSum terms only)"
+                )
+            return _dd_multi_path(
+                fsm, generator, ops, psi0, tlist, workspace, backward,
+                observable_fn, store_states,
             )
         plan, diag, diag_pos, flip_pos = fs
         n_cols = int(np.asarray(coeffs_table).shape[1])

@@ -48,7 +48,9 @@ __all__ = [
     "dd_split_np",
     "bsr_dd_from_scipy",
     "bsr_apply_dd",
+    "bsr_blocks_apply_dd",
     "cheby_apply_dd_bsr",
+    "cheby_dd_recurrence",
     "BSRdd",
 ]
 
@@ -147,19 +149,20 @@ def _tree_sum_dd(p, e, axis=-1):
     return p[..., 0], e[..., 0]
 
 
-@jax.jit
-def bsr_apply_dd(op: BSRdd, x: DD) -> DD:
-    """``y = A·x`` in df64 over the blocked-ELL layout (real A)."""
-    b = op.block_size
-    R, k = op.cols.shape
-    xb_h = x.hi.reshape(-1, b)
-    xb_l = x.lo.reshape(-1, b)
-    xg_h = xb_h[op.cols]  # (R, k, b)
-    xg_l = xb_l[op.cols]
-    bh = op.blocks_hi  # (R, k, b, b)
-    bl = op.blocks_lo
-    p, e = _two_prod(bh, xg_h[:, :, None, :])
-    e = _b(e + _b(bh * xg_l[:, :, None, :])) + _b(bl * xg_h[:, :, None, :])
+def bsr_blocks_apply_dd(blocks_hi, blocks_lo, cols, xb_h, xb_l) -> DD:
+    """Core df64 blocked-ELL SpMV: ``blocks (R,k,b,b) · x[cols]`` with
+    error-free hi·hi products and a compensated pairwise reduction.
+    ``xb_h/xb_l`` are the dd state planes PRE-reshaped to ``(Rx, b)``
+    block rows (``Rx`` may exceed ``R`` — the sharded banded path
+    passes halo-extended rows with extended-local ``cols``)."""
+    R, k = cols.shape
+    b = blocks_hi.shape[-1]
+    xg_h = xb_h[cols]  # (R, k, b)
+    xg_l = xb_l[cols]
+    p, e = _two_prod(blocks_hi, xg_h[:, :, None, :])
+    e = _b(e + _b(blocks_hi * xg_l[:, :, None, :])) + _b(
+        blocks_lo * xg_h[:, :, None, :]
+    )
     # contract over (k, b_in): (R, k, b_out, b_in) -> (R, b_out)
     p = jnp.swapaxes(p, 1, 2).reshape(R, b, k * b)
     e = jnp.swapaxes(e, 1, 2).reshape(R, b, k * b)
@@ -168,22 +171,32 @@ def bsr_apply_dd(op: BSRdd, x: DD) -> DD:
     return DD(hi.reshape(-1), lo.reshape(-1))
 
 
+@jax.jit
+def bsr_apply_dd(op: BSRdd, x: DD) -> DD:
+    """``y = A·x`` in df64 over the blocked-ELL layout (real A)."""
+    b = op.block_size
+    return bsr_blocks_apply_dd(
+        op.blocks_hi, op.blocks_lo, op.cols,
+        x.hi.reshape(-1, b), x.lo.reshape(-1, b),
+    )
+
+
 def _cdd_apply_real(op, z: CDD) -> CDD:
     return CDD(bsr_apply_dd(op, z.re), bsr_apply_dd(op, z.im))
 
 
-@partial(
-    jax.jit,
-    static_argnames=("shape_n", "delta", "e_min", "dt", "forward"),
-)
-def _cheby_dd_bsr_impl(bh, bl, cols, shape_n, psi, coeffs_hi, coeffs_lo,
-                       delta, e_min, dt, forward):
-    op = BSRdd(bh, bl, cols, (shape_n, shape_n))
+def cheby_dd_recurrence(apply_cdd, psi: CDD, coeffs_hi, coeffs_lo,
+                        delta, e_min, dt, forward) -> CDD:
+    """The df64 Chebyshev recurrence over an arbitrary CDD→CDD real
+    matvec ``apply_cdd`` — shared between the single-device BSR path
+    and the sharded banded-halo path (which calls it from inside
+    ``shard_map``: the recurrence itself is elementwise/local, only
+    the matvec communicates)."""
     beta = _dd_const(float(delta) / 2.0 + float(e_min))
     s_val = (-2.0 if forward else 2.0) / float(delta)
 
     def h_norm(v: CDD, scale: float) -> CDD:
-        hv = _cdd_apply_real(op, v)
+        hv = apply_cdd(v)
         from .df64 import dd_mul, dd_neg, dd_sub
 
         w = CDD(
@@ -218,6 +231,19 @@ def _cheby_dd_bsr_impl(bh, bl, cols, shape_n, psi, coeffs_hi, coeffs_lo,
         DD(*(jnp.float32(v) for v in _split_f64(ph.imag))),
     )
     return cdd_scale(phi, phase)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("shape_n", "delta", "e_min", "dt", "forward"),
+)
+def _cheby_dd_bsr_impl(bh, bl, cols, shape_n, psi, coeffs_hi, coeffs_lo,
+                       delta, e_min, dt, forward):
+    op = BSRdd(bh, bl, cols, (shape_n, shape_n))
+    return cheby_dd_recurrence(
+        lambda v: _cdd_apply_real(op, v), psi, coeffs_hi, coeffs_lo,
+        delta, e_min, dt, forward,
+    )
 
 
 def cheby_apply_dd_bsr(op: BSRdd, psi: CDD, coeffs, delta, e_min, dt) -> CDD:

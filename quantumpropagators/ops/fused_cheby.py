@@ -57,6 +57,7 @@ __all__ = [
     "make_flip_plan",
     "cheby_step_fused",
     "flip_structure",
+    "flip_structure_multi",
 ]
 
 _LANE = 128
@@ -181,6 +182,69 @@ def flip_structure(ops, tile_rows: int = 512):
         diag = diag.real
     plan = make_flip_plan(L, gs_bits, tile_rows=tile_rows)
     return plan, diag, diag_pos, flip_pos
+
+
+def _xtype_site_gs(op) -> "np.ndarray | None":
+    """Per-BIT flip coefficients of an X-type SiteOperatorSum, or None
+    if the term is not pure-real site-flip structure."""
+    mats = np.asarray(op.site_mats)
+    if np.iscomplexobj(mats) and np.abs(mats.imag).max() > 0:
+        return None
+    mats = mats.real
+    L = op.L
+    active = op.active if op.active else (True,) * L
+    gs_site = np.zeros(L, dtype=np.float64)
+    for i in range(L):
+        if not active[i]:
+            continue
+        M = mats[i]
+        if M[0, 0] != 0 or M[1, 1] != 0 or M[0, 1] != M[1, 0]:
+            return None
+        gs_site[i] = M[0, 1]
+    return gs_site[::-1].copy()  # site i (MSB-first) = bit L-1-i
+
+
+def flip_structure_multi(ops):
+    """Multi-amplitude generalization of :func:`flip_structure` —
+    the reference's ``Ĥ₀ + Σₗ aₗ(t)Ĥₗ`` with ANY number of diagonal
+    terms and ANY number of independently-driven site-flip groups
+    (``/root/reference/src/generators.jl:44-61``): each term is either
+    a :class:`~.operators.DiagonalOperator` or an X-type
+    :class:`~..models.lattice.SiteOperatorSum` (groups may overlap —
+    a bit's effective coefficient is the coefficient-weighted sum).
+
+    Returns ``(L, diag_terms, flip_terms)`` with
+    ``diag_terms = [(pos, diag_f64)]`` and
+    ``flip_terms = [(pos, gs_bits_f64 (L,))]`` (``pos`` indexes
+    ``ops``), or ``None`` if any term does not fit.
+    """
+    from ..models.lattice import SiteOperatorSum
+    from .operators import DiagonalOperator
+
+    diag_terms, flip_terms = [], []
+    L = None
+    for k, op in enumerate(ops):
+        if isinstance(op, DiagonalOperator):
+            d = op.diag
+            if jnp.iscomplexobj(d):
+                if np.abs(np.asarray(d.imag)).max() > 0:
+                    return None
+                d = d.real
+            diag_terms.append((k, np.asarray(d, dtype=np.float64)))
+        elif isinstance(op, SiteOperatorSum):
+            gs_bits = _xtype_site_gs(op)
+            if gs_bits is None:
+                return None
+            if L is None:
+                L = op.L
+            elif op.L != L:
+                return None
+            flip_terms.append((k, gs_bits))
+        else:
+            return None
+    if not flip_terms or L < _LANE_BITS + 3:
+        return None
+    return L, diag_terms, flip_terms
 
 
 def _apply_h_tile(plan: FlipPlan, tr, lane_mat, dmb, w, scale):

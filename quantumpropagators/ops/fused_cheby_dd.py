@@ -507,21 +507,25 @@ def _first_component_kernel(plan, uniform, variant, n_cross, n_remote,
     o_phl[:] = phl
 
 
-def _tail_component_kernel(plan, n_cross, sign, sc_ref, gs_ref, *refs):
+def _tail_component_kernel(plan, n_cross, n_remote, sign, sc_ref,
+                           gs_ref, *refs):
     """Pure-f32 Chebyshev iteration, ONE output component X (the
-    mixed-precision TAIL: orders whose remaining Φ-weight
-    ``Σ_{j≥k}|a_j|`` is small enough that f32 rounding stays under the
+    mixed-precision TAIL: orders whose remaining recurrence-weighted
+    Φ contribution is small enough that f32 rounding stays under the
     per-step budget — see :func:`f32_tail_orders`).  ~10× fewer VPU ops
     and half the plane traffic of the dd iteration.
 
     ``v2_X = sign·(H'v1)_Y + v0_X``;  ``Φtail_X += a_k·v2_X`` with
     H' = s2·(H−β) pre-folded exactly like the dd kernels (same dmb2/G
-    scalars, hi parts only).  refs: lane01, v1y(1), nb(n_cross), dmb(1),
+    scalars, hi parts only).  refs: lane01, v1y(1), nb(n_cross),
+    remote(n_remote — sharded device-bit planes, HI ONLY: the dropped
+    remote compensation is ≤ 2⁻²⁴ relative, inside the tail's own
+    eps32 budget and HALF the ICI bytes of the dd exchange), dmb(1),
     v0x(1), phtx(1) inputs → outputs v2x(1), phtx(1)."""
     lane_ref = refs[0]
     vh = refs[1][:]
-    nb = [refs[2 + j][:] for j in range(n_cross)]
-    k = 2 + n_cross
+    nb = [refs[2 + j][:] for j in range(n_cross + n_remote)]
+    k = 2 + n_cross + n_remote
     dh = refs[k][:]
     v0h = refs[k + 1][:]
     pht = refs[k + 2][:]
@@ -551,19 +555,34 @@ def f32_tail_orders(coeffs, per_step_budget: float = 3e-14,
                     eps32: float = 3e-7) -> int:
     """Number of TAIL polynomial orders safe to run in pure f32.
 
-    The f32 iteration perturbs ``v_k`` by ~``eps32`` relative per order;
-    a perturbation at order k reaches Φ with total weight
-    ``Σ_{j≥k}|a_j|`` (the Chebyshev recurrence does not amplify,
-    |T_k|≤1).  Returns the largest ``m`` such that orders
-    ``n-m .. n-1`` satisfy ``Σ_{j≥k}|a_j|·eps32 < per_step_budget``
-    — the dd kernels handle orders below, the f32 tail kernel the rest.
+    The f32 iteration perturbs ``v_k`` by ~``eps32`` relative per
+    order.  A perturbation injected at order ``k`` propagates through
+    the three-term recurrence with second-kind-Chebyshev sensitivity —
+    it reaches order ``j ≥ k`` with norm up to ``U_{j-k} ≤ j-k+1`` —
+    so its Φ weight is ``W(k) = Σ_{j≥k}|a_j|·(j-k+1)``, NOT the plain
+    tail sum.  The tail as a whole therefore contributes up to
+    ``eps32·(W(k0) + Σ_{k≥k0} W(k))``: one ``W(k0)`` for the one-time
+    f32 merge of the carry planes at the entry order ``k0``, plus one
+    ``W(k)`` per f32 iteration.  Returns the largest ``m = n - k0``
+    such that that bound stays under ``per_step_budget`` — the dd
+    kernels handle orders below ``k0``, the f32 tail kernel the rest.
+    (The Bessel tail decays superexponentially, so the quadratic
+    weights move ``k0`` by at most an order or two vs the plain sum.)
     Mirrors the truncation logic of the reference's coefficient loop
     (``src/cheby.jl:22-48``) one precision tier down."""
     a = np.abs(np.asarray(coeffs, dtype=np.float64))
-    tail = np.cumsum(a[::-1])[::-1]
     n = len(a)
+    j = np.arange(n, dtype=np.float64)
+
+    def bound(k0: int) -> float:
+        # W(k) = Σ_{j≥k} |a_j|·(j-k+1);  Σ_{k0≤k} W(k) telescopes to
+        # Σ_{j≥k0} |a_j|·(j-k0+1)(j-k0+2)/2.  Merge term adds W(k0).
+        d = j[k0:] - k0 + 1.0
+        aj = a[k0:]
+        return float((aj * (d + d * (d + 1.0) / 2.0)).sum())
+
     k0 = n
-    while k0 > 2 and tail[k0 - 1] * eps32 < per_step_budget:
+    while k0 > 2 and bound(k0 - 1) * eps32 < per_step_budget:
         k0 -= 1
     return n - k0
 
@@ -620,7 +639,7 @@ def _dd_resplit_f64(x64):
     jax.jit,
     static_argnames=(
         "plan", "delta", "e_min", "dt", "forward", "interpret",
-        "extra_nb_fn", "extra_gs", "fast", "f32_tail",
+        "extra_nb_fn", "extra_nb_hi_fn", "extra_gs", "fast", "f32_tail",
     ),
 )
 def cheby_step_fused_dd(
@@ -637,6 +656,7 @@ def cheby_step_fused_dd(
     forward: bool = True,
     interpret: bool = False,
     extra_nb_fn=None,
+    extra_nb_hi_fn=None,
     extra_gs: tuple = (),
     flip_scale=None,
     fast="lomxu",
@@ -660,6 +680,14 @@ def cheby_step_fused_dd(
     flips delivered by ``ppermute``
     (:mod:`..parallel.sharded_fused`).
 
+    ``extra_nb_hi_fn(re_hi, im_hi) -> list[(re_r, im_r)]`` (static) is
+    the HI-ONLY companion hook used by the mixed-precision f32 tail:
+    during tail orders only the hi planes are exchanged (half the ICI
+    bytes; the dropped remote compensation is ≤ 2⁻²⁴ relative — inside
+    the tail's own eps32 budget).  If ``extra_nb_fn`` is given without
+    it, the tail is disabled (``f32_tail`` forced to 0) so sharded
+    accuracy never silently degrades.
+
     ``flip_scale`` (traced, optional): a ``(hi, lo)`` dd pair of f32
     scalars multiplying ALL flip coefficients — the time-dependent
     transverse-field amplitude ``g(t)`` of the reference's OC inner
@@ -678,7 +706,17 @@ def cheby_step_fused_dd(
     beta = float(delta) / 2.0 + float(e_min)
     sign = -1.0 if forward else 1.0
     s2 = 2.0 * sign * 2.0 / float(delta)
-    uniform = len(set(plan.gs) | set(float(g) for g in extra_gs)) == 1
+    # flip_scale may be a PER-BIT dd vector pair (multi-amplitude
+    # generators: bit j's coefficient is an independent control — the
+    # reference's Ĥ₀ + Σₗ aₗ(t)Ĥₗ, src/generators.jl:44-61).  A vector
+    # scale makes the effective coefficients non-uniform at trace time,
+    # so the per-bit gs-table path is used (shape is static, so this
+    # costs no retracing across control updates).
+    fs_vec = flip_scale is not None and np.ndim(flip_scale[0]) > 0
+    uniform = (
+        len(set(plan.gs) | set(float(g) for g in extra_gs)) == 1
+        and not fs_vec
+    )
     n_cross = plan.n_cross
     n_remote = len(extra_gs)
     variant = _variant(fast)
@@ -687,9 +725,12 @@ def cheby_step_fused_dd(
         variant = "twosum"
     fast = variant in ("sigma", "lomxu", "tlane")
     # mixed-precision tail (see f32_tail_orders): uniform flip
-    # coefficients only; extra_nb_fn (sharded remote bits) not wired
+    # coefficients only.  Sharded remote bits ride the tail too via
+    # ``extra_nb_hi_fn(re, im) -> [(re_r, im_r), ...]`` — a HI-only
+    # ppermute (half the ICI bytes of the dd exchange; the dropped
+    # remote lo planes are ≤ 2⁻²⁴ relative, inside the tail budget).
     f32_tail = int(f32_tail)
-    if not uniform or extra_nb_fn is not None:
+    if not uniform or (extra_nb_fn is not None and extra_nb_hi_fn is None):
         f32_tail = 0
     n_orders = int(coeffs_h.shape[0])
     f32_tail = max(0, min(f32_tail, n_orders - 3))
@@ -723,6 +764,11 @@ def cheby_step_fused_dd(
         ).reshape(1, -1)
     else:
         fs_h, fs_l = (jnp.asarray(v, jnp.float32) for v in flip_scale)
+        if fs_vec and fs_h.shape != (len(base),):
+            raise ValueError(
+                f"per-bit flip_scale must have shape ({len(base)},) = "
+                f"(local bits + extra bits), got {fs_h.shape}"
+            )
         if _x64_available():
             g64 = jnp.asarray(base) * (
                 fs_h.astype(jnp.float64) + fs_l.astype(jnp.float64)
@@ -908,20 +954,23 @@ def cheby_step_fused_dd(
         zero = jnp.zeros_like(t_v0_re)
         pht_re, pht_im = zero, zero
 
+        n_remote_tail = n_remote if extra_nb_hi_fn is not None else 0
         tspecs_common = (
             [lane_spec, vec]
             + [_neighbor_spec(plan.tile_rows, j) for j in range(n_cross)]
+            + [vec] * n_remote_tail
             + [vec, vec, vec]
         )
 
-        def run_tail_component(sgn, a_k1, v1y, v0x, phtx):
+        def run_tail_component(sgn, a_k1, v1y, rem_y, v0x, phtx):
             args = [lane01, v1y]
             args += [v1y] * n_cross  # neighbor-indexed reads
+            args += list(rem_y)  # remote device-bit planes (hi only)
             args += [dmb_planes[0], v0x, phtx]
             n_in = 2 + len(args)
             aliases = {n_in - 2: 0, n_in - 1: 1}
             kern = partial(
-                _tail_component_kernel, plan, n_cross, sgn,
+                _tail_component_kernel, plan, n_cross, n_remote_tail, sgn,
             )
             return pl.pallas_call(
                 lambda a_ref, gs_ref, *r: kern(a_ref, gs_ref, *r),
@@ -935,11 +984,23 @@ def cheby_step_fused_dd(
                 **ckw,
             )(a_k1, gs_flat, *args)
 
+        def tail_remote_pairs(v1r, v1i):
+            """HI-only remote exchange for the tail orders: half the
+            ICI bytes of the dd exchange (the remote lo planes are
+            below the tail's own eps32 budget by construction)."""
+            if n_remote_tail == 0:
+                return [], []
+            ext = extra_nb_hi_fn(v1r.reshape(shape), v1i.reshape(shape))
+            rem_r = [t[0].reshape(-1, _LANE) for t in ext]
+            rem_i = [t[1].reshape(-1, _LANE) for t in ext]
+            return rem_r, rem_i
+
         def tail_body(carry, a_k):
             v0r, v0i, v1r, v1i, pr, pi = carry
             a_k1 = a_k.reshape(1, 1)
-            v2r, pr = run_tail_component(-1.0, a_k1, v1i, v0r, pr)
-            v2i, pi = run_tail_component(+1.0, a_k1, v1r, v0i, pi)
+            rem_r, rem_i = tail_remote_pairs(v1r, v1i)
+            v2r, pr = run_tail_component(-1.0, a_k1, v1i, rem_i, v0r, pr)
+            v2i, pi = run_tail_component(+1.0, a_k1, v1r, rem_r, v0i, pi)
             return (v1r, v1i, v2r, v2i, pr, pi), None
 
         (_, _, _, _, pht_re, pht_im), _ = jax.lax.scan(

@@ -258,3 +258,84 @@ def test_dd_f32_tail(problem):
         )
     )
     assert np.abs(merge(out) - exact).max() < 1e-12
+
+
+def test_dd_kernel_multi_amplitude_disjoint_groups_100_steps():
+    """Multi-amplitude dd (VERDICT r3 item 4): a generator with TWO
+    independently-driven flip groups on disjoint sites (odd/even bonds)
+    plus a driven diagonal — the reference's ``Ĥ₀ + Σₗ aₗ(t)Ĥₗ``
+    (``src/generators.jl:44-61``) — propagates 100 steps through
+    kernel='dd' at 1e-12 vs the complex128 XLA oracle."""
+    import jax.numpy as jnp
+
+    from quantumpropagators.fused import cheby_propagate_fused
+    from quantumpropagators.models.lattice import (
+        SiteOperatorSum,
+        transverse_field_ising,
+    )
+
+    L2 = 10
+    H_diag, _ = transverse_field_ising(L2, J=J, g=1.0, h=h,
+                                       dtype=jnp.float64)
+    sx = np.array([[0.0, 1.0], [1.0, 0.0]])
+    rng = np.random.default_rng(29)
+    g_site = rng.uniform(0.7, 1.3, size=L2)
+    mats_odd = np.zeros((L2, 2, 2))
+    mats_even = np.zeros((L2, 2, 2))
+    for i in range(L2):
+        (mats_odd if i % 2 else mats_even)[i] = g_site[i] * sx
+    Hx_odd = SiteOperatorSum(
+        jnp.asarray(mats_odd), L=L2,
+        active=tuple(i % 2 == 1 for i in range(L2)),
+    )
+    Hx_even = SiteOperatorSum(
+        jnp.asarray(mats_even), L=L2,
+        active=tuple(i % 2 == 0 for i in range(L2)),
+    )
+    eps_d = lambda t: 1.0 + 0.3 * np.sin(0.9 * t)
+    eps_o = lambda t: 1.2 + 0.4 * np.cos(1.7 * t)   # odd-group drive
+    eps_e = lambda t: 0.9 + 0.5 * np.sin(2.3 * t)   # even-group drive
+    gen = qp.hamiltonian(
+        (H_diag, eps_d), (Hx_odd, eps_o), (Hx_even, eps_e), check=False
+    )
+    psi0 = rng.standard_normal(2 ** L2) + 1j * rng.standard_normal(2 ** L2)
+    psi0 = jnp.asarray(psi0 / np.linalg.norm(psi0))
+    n_steps = 100
+    tlist = np.linspace(0.0, 2.0, n_steps + 1)
+    # spectral envelope certified over the control ranges
+    bound = 1.3 * (J * (L2 - 1) + abs(h) * L2) + 1.6 * float(
+        np.abs(g_site).sum()
+    )
+    kw = dict(specrange_method="manual", E_min=-bound, E_max=bound)
+    psi_dd, _ = cheby_propagate_fused(psi0, gen, tlist, kernel="dd", **kw)
+    psi_xla, _ = cheby_propagate_fused(psi0, gen, tlist, kernel="xla", **kw)
+    err = np.abs(np.asarray(psi_dd) - np.asarray(psi_xla)).max()
+    assert err < 1e-12, err
+    assert abs(np.linalg.norm(np.asarray(psi_dd)) - 1.0) < 1e-11
+
+
+def test_dd_kernel_multi_static_diag_terms():
+    """Multiple STATIC diagonal terms plus one static flip group fold
+    into the same dd path (multi detection, Operator coefficients)."""
+    import jax.numpy as jnp
+
+    from quantumpropagators.fused import cheby_propagate_fused
+    from quantumpropagators.models.lattice import transverse_field_ising
+    from quantumpropagators.ops.operators import DiagonalOperator
+
+    L2 = 10
+    H_diag, H_x = transverse_field_ising(L2, J=J, g=1.0, h=h,
+                                         dtype=jnp.float64)
+    rng = np.random.default_rng(33)
+    extra = DiagonalOperator(jnp.asarray(rng.normal(size=2 ** L2)))
+    op = qp.Operator([H_diag, extra, H_x], np.array([1.0, 0.5, 1.1]))
+    psi0 = rng.standard_normal(2 ** L2) + 1j * rng.standard_normal(2 ** L2)
+    psi0 = jnp.asarray(psi0 / np.linalg.norm(psi0))
+    tlist = np.linspace(0.0, 0.3, 4)
+    bound = J * (L2 - 1) + abs(h) * L2 + 0.5 * float(
+        np.abs(np.asarray(extra.diag)).max()
+    ) + 1.1 * L2
+    kw = dict(specrange_method="manual", E_min=-bound, E_max=bound)
+    psi_dd, _ = cheby_propagate_fused(psi0, op, tlist, kernel="dd", **kw)
+    psi_xla, _ = cheby_propagate_fused(psi0, op, tlist, kernel="xla", **kw)
+    assert np.abs(np.asarray(psi_dd) - np.asarray(psi_xla)).max() < 1e-12

@@ -11,9 +11,11 @@ row-sharded across it, ppermute/psum crossing the process boundary.
 """
 
 import os
+import signal
 import socket
 import subprocess
 import sys
+from contextlib import contextmanager
 from pathlib import Path
 
 import pytest
@@ -27,7 +29,24 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(300)
+@contextmanager
+def _deadline(seconds: int):
+    """Hard SIGALRM guard: ``pytest-timeout`` is not installed in this
+    image, so a plain ``pytest.mark.timeout`` would be inert — this
+    raises in the test process itself no matter where it is stuck."""
+
+    def _raise(signum, frame):
+        raise TimeoutError(f"test exceeded {seconds}s deadline")
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def test_two_process_sharded_cheby_step():
     port = _free_port()
     # scrub accelerator-plugin and TPU-cluster-autodetection state: the
@@ -42,26 +61,28 @@ def test_two_process_sharded_cheby_step():
     }
     repo = str(_WORKER.parent.parent)
     env["PYTHONPATH"] = repo
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(_WORKER), str(port), str(pid)],
-            env=env,
-            cwd=repo,
-            stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
-            text=True,
-        )
-        for pid in (0, 1)
-    ]
-    outs = []
+    procs = []
     try:
-        for p in procs:
-            out, err = p.communicate(timeout=240)
-            outs.append((p.returncode, out, err))
-    except subprocess.TimeoutExpired:
+        with _deadline(290):
+            procs = [
+                subprocess.Popen(
+                    [sys.executable, str(_WORKER), str(port), str(pid)],
+                    env=env,
+                    cwd=repo,
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.PIPE,
+                    text=True,
+                )
+                for pid in (0, 1)
+            ]
+            outs = []
+            for p in procs:
+                out, err = p.communicate(timeout=240)
+                outs.append((p.returncode, out, err))
+    except (subprocess.TimeoutExpired, TimeoutError) as exc:
         for p in procs:
             p.kill()
-        pytest.fail("multihost workers timed out")
+        pytest.fail(f"multihost workers timed out ({exc})")
     for rc, out, err in outs:
         assert rc == 0, f"worker failed (rc={rc}):\n{out}\n{err[-3000:]}"
         assert "OK process=" in out, out

@@ -229,3 +229,128 @@ def test_distributed_bsr_newton(mesh):
     exact = expm(-1j * A.toarray() * dt) @ psi
     assert np.linalg.norm(np.asarray(got) - exact) < 1e-12
     assert len({s.device for s in got.addressable_shards}) == 8
+
+
+def test_banded_bsr_apply_dd_matches_f64(mesh):
+    """df64 distributed banded SpMV: dd halo exchange (hi + lo planes)
+    matches the f64 matvec to ~1e-14 (VERDICT r3 item 1)."""
+    from quantumpropagators.ops.df64 import DD
+    from quantumpropagators.parallel.sharded_bsr import (
+        banded_bsr_apply_dd,
+        partition_bsr_dd,
+    )
+    from quantumpropagators.parallel.mesh import STATE_AXIS
+    from jax.sharding import PartitionSpec as P
+
+    rng = np.random.default_rng(7)
+    R, b = 32, 8
+    A = block_tridiag(R, b, rng, dtype=float)
+    pb = partition_bsr_dd(A, 8, block_size=b)
+    assert pb.halo_blocks == 1
+    x64 = rng.normal(size=R * b)
+    xh = x64.astype(np.float32)
+    xl = (x64 - xh.astype(np.float64)).astype(np.float32)
+
+    meta = dict(
+        halo_blocks=pb.halo_blocks,
+        n_block_rows_local=pb.n_block_rows_local,
+        n_devices=pb.n_devices,
+        block_size=pb.block_size,
+        shape=pb.shape,
+    )
+    from quantumpropagators.parallel.sharded_bsr import PartitionedBSRdd
+
+    spec = PartitionedBSRdd(
+        blocks_hi=P(STATE_AXIS), blocks_lo=P(STATE_AXIS),
+        cols=P(STATE_AXIS), **meta,
+    )
+
+    def fn(p, h, l):
+        p_local = PartitionedBSRdd(
+            blocks_hi=p.blocks_hi[0], blocks_lo=p.blocks_lo[0],
+            cols=p.cols[0], **meta,
+        )
+        y = banded_bsr_apply_dd(p_local, DD(h, l))
+        return y.hi, y.lo
+
+    got_h, got_l = jax.jit(
+        jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(spec, P(STATE_AXIS), P(STATE_AXIS)),
+            out_specs=(P(STATE_AXIS), P(STATE_AXIS)),
+        )
+    )(pb, shard_vector(mesh, jnp.asarray(xh)),
+      shard_vector(mesh, jnp.asarray(xl)))
+    got = np.asarray(got_h, np.float64) + np.asarray(got_l, np.float64)
+    want = A @ x64
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < 1e-14
+
+
+def test_sharded_bsr_cheby_step_dd_reference_accuracy(mesh):
+    """The FULL df64 sharded BSR Chebyshev step matches the complex128
+    oracle to 1e-12 — BASELINE config 5 (banded halo, multi-chip) at
+    the 1e-10 accuracy contract the reference holds every config to
+    (test/test_cheby.jl:8).  This is the banded regime where >=80%
+    weak-scaling is reachable (SCALING.md §2b), now at reference
+    accuracy."""
+    import scipy.linalg
+
+    from quantumpropagators.parallel.sharded_bsr import (
+        make_sharded_bsr_cheby_step_dd,
+        partition_bsr_dd,
+    )
+
+    rng = np.random.default_rng(11)
+    R, b = 32, 8
+    A = block_tridiag(R, b, rng, dtype=float)
+    A = (0.5 * (A + A.T)).tocsr()
+    N = R * b
+    pb = partition_bsr_dd(A, 8, block_size=b)
+    assert pb.halo_blocks == 1
+
+    bound = float(np.abs(A).sum(axis=1).max())
+    e_min, delta = -bound, 2 * bound
+    dt = 0.05
+    from quantumpropagators.ops.cheby import cheby_coeffs
+
+    c64 = cheby_coeffs(delta, dt)
+    c_h = jnp.asarray(c64.astype(np.float32))
+    c_l = jnp.asarray((c64 - c64.astype(np.float32)).astype(np.float32))
+
+    psi = rng.normal(size=N) + 1j * rng.normal(size=N)
+    psi /= np.linalg.norm(psi)
+
+    def dd_split(x64):
+        hi = np.asarray(x64, np.float64).astype(np.float32)
+        return (
+            jnp.asarray(hi),
+            jnp.asarray((x64 - hi.astype(np.float64)).astype(np.float32)),
+        )
+
+    state4 = tuple(
+        shard_vector(mesh, p)
+        for p in (*dd_split(psi.real), *dd_split(psi.imag))
+    )
+    step = make_sharded_bsr_cheby_step_dd(
+        mesh, pb, delta=delta, e_min=e_min, dt=dt
+    )
+    out = step(pb, state4, c_h, c_l)
+    got = (
+        np.asarray(out[0], np.float64) + np.asarray(out[1], np.float64)
+        + 1j * (np.asarray(out[2], np.float64) + np.asarray(out[3], np.float64))
+    )
+    U = scipy.linalg.expm(-1j * A.toarray() * dt)
+    want = U @ psi
+    assert np.abs(got - want).max() < 1e-12
+
+    # and a 10-step propagation stays at reference accuracy
+    st = state4
+    for _ in range(10):
+        st = step(pb, tuple(st), c_h, c_l)
+    got10 = (
+        np.asarray(st[0], np.float64) + np.asarray(st[1], np.float64)
+        + 1j * (np.asarray(st[2], np.float64) + np.asarray(st[3], np.float64))
+    )
+    want10 = np.linalg.matrix_power(U, 10) @ psi
+    assert np.abs(got10 - want10).max() < 1e-11
