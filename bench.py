@@ -205,6 +205,92 @@ def bench_transmon():
     }), flush=True)
 
 
+def bench_newton():
+    """On-accelerator Newton timing (VERDICT r3 item 6: the suite never
+    timed Newton on the TPU).  N=1024 random sparse Hermitian with
+    spectral radius 10 — the reference's Newton test configuration
+    (``test/test_newton.jl:20``, ``docs/src/benchmarks/profiling.md:112``
+    matvec-count protocol) — stepped with restarted Arnoldi on the
+    device (CGS2 + rank-k updates on-chip, O(m²) scalar bookkeeping on
+    host; all boundary crossings are REAL planes, so the complex-
+    transfer-free TPU path is exercised end to end)."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from quantumpropagators.ops.newton import NewtonInfo, newton_apply
+    from quantumpropagators.ops.operators import bsr_from_scipy
+
+    dev = jax.devices()[0]
+    N = 1024
+    rng = np.random.default_rng(42)
+    A = sp.random(N, N, density=0.01, random_state=rng,
+                  data_rvs=rng.standard_normal)
+    H = (0.5 * (A + A.T)).tocsr()
+    # normalize spectral radius to 10 (reference test config)
+    from scipy.sparse.linalg import eigsh
+
+    lam_max = abs(eigsh(H, k=1, which="LA",
+                        return_eigenvectors=False)[0])
+    lam_min = abs(eigsh(H, k=1, which="SA",
+                        return_eigenvectors=False)[0])
+    H = H * (10.0 / max(lam_max, lam_min))
+    H64 = H.astype(np.float64)
+    op = bsr_from_scipy(H.astype(np.float32), block_size=32,
+                        dtype=jnp.float32)
+    psi0 = rng.standard_normal(N) + 1j * rng.standard_normal(N)
+    psi0 /= np.linalg.norm(psi0)
+    # complex formed ON device from real planes (no complex transfer)
+    psi = jax.lax.complex(
+        jnp.asarray(psi0.real, jnp.float32),
+        jnp.asarray(psi0.imag, jnp.float32),
+    )
+    dt = 0.5
+    n_steps = 20
+    relerr = 1e-6  # f32 state: reference-accuracy Newton needs x64 (CPU)
+
+    def run(psi, info):
+        for _ in range(n_steps):
+            psi = newton_apply(
+                op, psi, dt, m_max=10, relerr=relerr, info=info,
+            )
+        return psi
+
+    run(psi, NewtonInfo())  # warm every restart-shape compile
+    info = NewtonInfo()
+    t0 = time.perf_counter()
+    out = run(psi, info)
+    # force completion through a real scalar transfer
+    nrm = float(jnp.sqrt(jnp.real(jnp.vdot(out, out))))
+    elapsed = time.perf_counter() - t0
+    steps_per_s = n_steps / elapsed
+    matvecs_per_step = info.matvecs / n_steps
+    # accuracy vs the f64 host oracle (f32 state: expect ~1e-6 level;
+    # the 1e-10 contract configs run Newton in x64 — tests/test_newton)
+    from scipy.linalg import expm
+
+    exact = np.linalg.matrix_power(
+        expm(-1j * H64.toarray() * dt), n_steps
+    ) @ psi0
+    got = np.asarray(jnp.real(out), np.float64) + 1j * np.asarray(
+        jnp.imag(out), np.float64
+    )
+    err = float(np.abs(got - exact).max())
+    log(f"newton on {dev.platform}: {steps_per_s:.2f} steps/s, "
+        f"{matvecs_per_step:.0f} matvecs/step, err={err:.2e} "
+        f"(f32 state), ‖Ψ‖={nrm:.6f}")
+    print(json.dumps({
+        "metric": "newton_restarted_arnoldi_steps",
+        "value": round(steps_per_s, 2),
+        "unit": "steps/s",
+        "vs_baseline": None,
+        "extra": {"matvecs_per_step": round(matvecs_per_step, 1),
+                  "n_steps": n_steps, "dim": N,
+                  "err_vs_expm_f32_state": err,
+                  "platform": dev.platform},
+    }), flush=True)
+
+
 def bench_optomech():
     """BASELINE config 3: optomech cavity (55-dim kron CSR).
 
@@ -342,6 +428,42 @@ def bench_optomech():
     # gather-CSR is pathologically slow here (the point of the
     # comparison) — keep its measured work small
     rates2 = measure(H2, batch=8, n_apply=4, block_size=bsz, reps=2)
+
+    # df64 BSR at SCALE (VERDICT r3 item 5): the reference-accuracy
+    # unstructured path measured at dim 2^16, not just the 55-dim
+    # optomech — BASELINE configs 3/5 need this number
+    H2sym = (0.5 * (H2 + H2.T)).astype(np.float64).tocsr()
+    op2_dd = bsr_dd_from_scipy(H2sym, block_size=bsz)
+    bound2 = float(np.abs(H2sym).sum(axis=1).max())
+    e2, d2 = -bound2, 2 * bound2
+    dt2 = 0.02
+    c2 = cheby_coeffs(d2, dt2)
+    rng = np.random.default_rng(9)
+    z2 = CDD(
+        DD(*dd_split_np(rng.standard_normal(H2sym.shape[0]))),
+        DD(*dd_split_np(rng.standard_normal(H2sym.shape[0]))),
+    )
+    n2_steps = 2
+
+    def run_dd2(z):
+        for _ in range(n2_steps):
+            z = cheby_apply_dd_bsr(op2_dd, z, c2, d2, e2, dt2)
+        return float(jnp.sum(z.re.hi ** 2) + jnp.sum(z.im.hi ** 2))
+
+    run_dd2(z2)  # compile
+    t0 = time.perf_counter()
+    run_dd2(z2)
+    t_a = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(3):
+        run_dd2(z2)
+    t_b = time.perf_counter() - t0
+    dd2_elapsed = max(t_b - t_a, 1e-9) / 2  # 2 extra invocations
+    dd2_gnnz = (
+        n2_steps * (len(c2) - 1) * 2 * H2sym.nnz / dd2_elapsed / 1e9
+    )
+    log(f"  df64 BSR cheby at dim {H2sym.shape[0]} "
+        f"({len(c2)} orders/step): {dd2_gnnz:.2f} Gnnz/s")
     print(json.dumps({
         "metric": "optomech_bsr_spmv_throughput",
         "value": round(rates["bsr"], 3),
@@ -355,6 +477,7 @@ def bench_optomech():
                   "scaled_bsr_gnnzs": round(rates2["bsr"], 3),
                   "scaled_csr_gnnzs": round(rates2["csr"], 3),
                   "scaled_speedup": round(rates2["bsr"] / rates2["csr"], 2),
+                  "scaled_dd_gnnzs": round(dd2_gnnz, 3),
                   "platform": dev.platform},
     }), flush=True)
 
@@ -377,6 +500,7 @@ def run_suite():
     jobs = [
         (["--config", "rabi"], None),
         (["--config", "transmon"], cpu_env),
+        (["--config", "newton"], None),
         (["--config", "optomech"], None),
         (["--L", "20", "--kernel", "dd"], None),
         (["--lattice2d", "4x6", "--kernel", "dd", "--steps", "5"], None),
@@ -389,10 +513,13 @@ def run_suite():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", choices=("rabi", "transmon", "optomech"),
+    ap.add_argument("--config",
+                    choices=("rabi", "transmon", "optomech", "newton"),
                     default=None,
                     help="run one of the small BASELINE configs instead "
-                         "of the headline chain/lattice measurement")
+                         "of the headline chain/lattice measurement "
+                         "(newton = on-accelerator restarted-Arnoldi "
+                         "timing, N=1024)")
     ap.add_argument("--suite", action="store_true",
                     help="run all five BASELINE configs (one JSON line "
                          "per config)")
@@ -437,6 +564,16 @@ def main():
                          "to run in pure f32 (mixed precision; 'auto' "
                          "= largest count keeping the per-step budget "
                          "under 1e-13, '0' = full dd)")
+    ap.add_argument("--dd-remote-bits", type=int, default=0,
+                    help="A/B mechanics probe: feed N self-copies of "
+                         "the state through the dd kernel's remote-"
+                         "plane hook (extra_nb_fn), emulating the "
+                         "KERNEL-side cost of N sharded device-bit "
+                         "exchanges without ICI.  The physical result "
+                         "is meaningless (implies --no-oracle); the "
+                         "throughput delta vs --dd-remote-bits 0 "
+                         "bounds the sharded step's per-shard overhead "
+                         "at equal local size (VERDICT r3 item 2)")
     ap.add_argument("--dd-variant",
                     choices=("twosum", "rows", "sigma", "lomxu", "tlane"),
                     default=None,
@@ -484,6 +621,9 @@ def main():
         return
     if args.config == "transmon":
         bench_transmon()
+        return
+    if args.config == "newton":
+        bench_newton()
         return
     if args.config == "optomech":
         bench_optomech()
@@ -595,6 +735,24 @@ def main():
         )
         log(f"df64 mixed-precision tail: {dd_tail} of {len(c64_dd)} "
             f"orders in f32")
+        dd_extra = {}
+        if args.dd_remote_bits:
+            args.no_oracle = True
+            nrb = args.dd_remote_bits
+
+            def _self_nb(state4):
+                return [tuple(state4)] * nrb
+
+            def _self_nb_hi(re_hi, im_hi):
+                return [(re_hi, im_hi)] * nrb
+
+            dd_extra = dict(
+                extra_nb_fn=_self_nb,
+                extra_nb_hi_fn=_self_nb_hi,
+                extra_gs=(float(g),) * nrb,
+            )
+            log(f"A/B: {nrb} self-copy remote planes through the "
+                f"sharded hook (result non-physical, cost-accurate)")
 
     @partial(jax.jit, static_argnames=("n_steps",))
     def run(op, re, im, coeffs, n_steps):
@@ -606,7 +764,7 @@ def main():
                     cheby_step_fused_dd(
                         plan, dmb_h, dmb_l, s, cdd_h, cdd_l,
                         delta, e_min, args.dt, fast=dd_fast,
-                        f32_tail=dd_tail,
+                        f32_tail=dd_tail, **dd_extra,
                     ),
                     None,
                 )

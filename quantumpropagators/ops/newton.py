@@ -106,6 +106,26 @@ def _accumulate(Psi, q, P):
     return Psi + jnp.tensordot(P.astype(q.dtype), q, axes=(0, 0))
 
 
+def _host_c128(x_dev) -> np.ndarray:
+    """Device→host complex transfer via two REAL planes.  The TPU
+    backend in this environment cannot transfer complex buffers across
+    the jit boundary (real planes only); splitting re/im on device and
+    recombining on the host is equivalent on every backend."""
+    return np.asarray(jnp.real(x_dev), dtype=np.float64) + 1j * np.asarray(
+        jnp.imag(x_dev), dtype=np.float64
+    )
+
+
+def _dev_complex(x_np, dtype):
+    """Host complex → device via two real planes + in-graph
+    ``lax.complex`` (see :func:`_host_c128`)."""
+    x_np = np.asarray(x_np, dtype=np.complex128)
+    rdt = jnp.finfo(dtype).dtype
+    return jax.lax.complex(
+        jnp.asarray(x_np.real, dtype=rdt), jnp.asarray(x_np.imag, dtype=rdt)
+    )
+
+
 @jax.jit
 def _norm(x):
     return jnp.sqrt(jnp.real(jnp.vdot(x, x)))
@@ -178,11 +198,11 @@ def newton_apply(
         )
         info.matvecs += m
         m = m_eff
-        Hess = np.asarray(Hess_dev)
+        Hess = _host_c128(Hess_dev)
         if m == 1 and s == 0:
             # v is an eigenvector: f(H)Ψ = f(λ)Ψ
             lam = beta * Hess[0, 0]
-            result = jnp.asarray(func(lam), dtype=q.dtype) * psi
+            result = _dev_complex(func(lam), q.dtype) * psi
             info.restarts = s
             info.radius = radius
             return result
@@ -209,11 +229,11 @@ def newton_apply(
             R = (Hm @ R - z * R) / radius
             P += a[n_s + k] * R
 
-        delta_coords = jnp.asarray(P[:m])
+        delta_coords = _dev_complex(P[:m], q.dtype)
         if s == 0:
             Psi = jnp.tensordot(delta_coords.astype(q.dtype), q[:m], axes=(0, 0))
         else:
-            Psi = _accumulate(Psi, q[:m], jnp.asarray(P[:m]))
+            Psi = _accumulate(Psi, q[:m], delta_coords)
 
         # Next restart vector: last Newton basis polynomial applied to v
         R = (Hm @ R - leja[n_s + m - 1] * R) / radius
@@ -221,7 +241,7 @@ def newton_apply(
         if beta <= norm_min:
             break  # residual vanished: expansion is exact
         R = R / beta
-        v = jnp.tensordot(jnp.asarray(R).astype(q.dtype), q[: m + 1], axes=(0, 0))
+        v = jnp.tensordot(_dev_complex(R, q.dtype), q[: m + 1], axes=(0, 0))
 
         psi_relerr = beta * abs(a[n_leja - 1]) / (1.0 + float(_norm(Psi)))
         if psi_relerr < relerr:
