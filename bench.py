@@ -575,7 +575,8 @@ def main():
                          "bounds the sharded step's per-shard overhead "
                          "at equal local size (VERDICT r3 item 2)")
     ap.add_argument("--dd-variant",
-                    choices=("twosum", "rows", "sigma", "lomxu", "tlane"),
+                    choices=("twosum", "rows", "sigma", "lomxu", "tlane",
+                             "xcross"),
                     default=None,
                     help="dd kernel flip-accumulation variant (overrides "
                          "--fast): lomxu = lo-plane lane flips via one "

@@ -58,7 +58,9 @@ except Exception:  # pragma: no cover
     pltpu = None
     _HAS_PLTPU = False
 
-from .fused_cheby import FlipPlan, make_flip_plan, _LANE, _LANE_BITS
+from .fused_cheby import (
+    FlipPlan, make_flip_plan, _flip_adjacency, _LANE, _LANE_BITS,
+)
 
 __all__ = [
     "cheby_step_fused_dd", "make_flip_plan", "dd_tile_rows",
@@ -287,7 +289,12 @@ def _variant(fast) -> str:
     fastest at every size), False → "twosum" (pure exact cascade),
     True → "sigma" (σ-extraction + MXU lane path), "rows" → twosum
     with grouped single-roll row flips, "tlane" → lomxu with the HI
-    plane's lane flips via transpose + sublane rolls."""
+    plane's lane flips via transpose + sublane rolls, "xcross" →
+    lomxu + the LO plane's CROSS-TILE neighbor sum via one XLA (T×T)
+    MXU matmul over the tile axis (replaces the 7 XOR-scattered lo
+    neighbor plane reads per component per order with one streamed
+    pass — ~15% less HBM traffic at 2^22+; precision-safe because lo
+    planes are ≤ 2⁻²⁴ of the value scale, same argument as lomxu)."""
     if fast is True:
         return "sigma"
     if not fast:
@@ -296,7 +303,7 @@ def _variant(fast) -> str:
 
 
 def _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl,
-                 grouped_rows=False, lane_ref=None, tlane=False):
+                 grouped_rows=False, lane_ref=None, tlane=False, sl=None):
     """Unnormalized ``H'·v`` for ONE component of v: (p, e) with
     H' = dmb' + Σ_j G_j·flip_j, dmb' = (dh, dl) planes, ``gs_ref`` the
     SMEM table of pre-split (folded) flip scalars, ``nb`` a list of
@@ -322,6 +329,8 @@ def _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl,
         # transposed space and transposing the (sum, compensation)
         # pair back — transposes are pure data movement, so the
         # two_sum cascade stays error-free.
+        # "xcross": neighbor entries in ``nb`` carry nl=None (their lo
+        # cross-sum arrives pre-combined in ``sl``, one plane).
         if tlane:
             vh_t = vh.T
             idx_t = jax.lax.broadcasted_iota(jnp.int32, vh_t.shape, 0)
@@ -357,7 +366,11 @@ def _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl,
             Fc = Fc + err + _roll_flip(vl, d, 0, rows_idx)
         for _, nh, nl in nb:
             Fh, err = _two_sum(Fh, nh)
-            Fc = Fc + err + nl
+            Fc = Fc + err
+            if nl is not None:
+                Fc = Fc + nl
+        if sl is not None:
+            Fc = Fc + sl  # pre-combined lo cross-sum (xcross)
         g1, g2, gl = _gs_triple(gs_ref, 0)
         gh = g1 + g2
         q, qe = _prod_presplit(Fh, g1, g2, gh, gl, xl=Fc)
@@ -408,18 +421,26 @@ def _iter_component_kernel(plan, uniform, variant, n_cross, n_remote,
     """One fused dd Chebyshev iteration, ONE output component X:
     ``v2_X = sign·(H'v1)_Y + v0_X``;  ``Φ_X += a_k·v2_X``.
 
-    refs: v1y(2), nb(2·n_cross), remote(2·n_remote), dmb(2), v0x(2),
+    refs: v1y(2), nb(2·n_cross — or n_cross hi planes + 1 combined lo
+    cross-sum plane for "xcross"), remote(2·n_remote), dmb(2), v0x(2),
     phix(2) inputs, then outputs v2x(2), phix(2).  ``a_ref`` holds
     (a_hi, a_lo) in SMEM; ``gs_ref`` the pre-split flip-scalar table."""
     in_tile = plan.L - plan.n_cross
     k = 0
     lane_ref = None
-    if variant in ("sigma", "lomxu", "tlane"):
+    if variant in ("sigma", "lomxu", "tlane", "xcross"):
         lane_ref = refs[k]; k += 1
     vh, vl = refs[k][:], refs[k + 1][:]; k += 2
     nb = []
-    for j in range(n_cross):
-        nb.append((in_tile + j, refs[k][:], refs[k + 1][:])); k += 2
+    sl = None
+    if variant == "xcross":
+        for j in range(n_cross):
+            nb.append((in_tile + j, refs[k][:], None)); k += 1
+        if n_cross:
+            sl = refs[k][:]; k += 1
+    else:
+        for j in range(n_cross):
+            nb.append((in_tile + j, refs[k][:], refs[k + 1][:])); k += 2
     for j in range(n_remote):
         nb.append((plan.L + j, refs[k][:], refs[k + 1][:])); k += 2
     dh, dl = refs[k][:], refs[k + 1][:]; k += 2
@@ -433,7 +454,7 @@ def _iter_component_kernel(plan, uniform, variant, n_cross, n_remote,
         p, e = _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl,
                             grouped_rows=(variant == "rows"),
                             lane_ref=lane_ref,
-                            tlane=(variant == "tlane"))
+                            tlane=(variant == "tlane"), sl=sl)
     if sign < 0:
         p, e = -p, -e
     v2h, err = _two_sum(p, v0h)
@@ -459,18 +480,26 @@ def _iter_component_kernel(plan, uniform, variant, n_cross, n_remote,
 def _first_component_kernel(plan, uniform, variant, n_cross, n_remote,
                             sign, a_ref, gs_ref, *refs):
     """Setup, ONE component X: ``v1_X = sign·0.5·(H'v0)_Y``;
-    ``Φ_X = a0·v0_X + a1·v1_X``.  refs: v0y(2), nb(2·n_cross),
+    ``Φ_X = a0·v0_X + a1·v1_X``.  refs: v0y(2), nb(2·n_cross — or
+    n_cross hi planes + 1 lo cross-sum plane for "xcross"),
     remote(2·n_remote), dmb(2), v0x(2) inputs → outputs v1x(2),
     phix(2)."""
     in_tile = plan.L - plan.n_cross
     k = 0
     lane_ref = None
-    if variant in ("sigma", "lomxu", "tlane"):
+    if variant in ("sigma", "lomxu", "tlane", "xcross"):
         lane_ref = refs[k]; k += 1
     vh, vl = refs[k][:], refs[k + 1][:]; k += 2
     nb = []
-    for j in range(n_cross):
-        nb.append((in_tile + j, refs[k][:], refs[k + 1][:])); k += 2
+    sl = None
+    if variant == "xcross":
+        for j in range(n_cross):
+            nb.append((in_tile + j, refs[k][:], None)); k += 1
+        if n_cross:
+            sl = refs[k][:]; k += 1
+    else:
+        for j in range(n_cross):
+            nb.append((in_tile + j, refs[k][:], refs[k + 1][:])); k += 2
     for j in range(n_remote):
         nb.append((plan.L + j, refs[k][:], refs[k + 1][:])); k += 2
     dh, dl = refs[k][:], refs[k + 1][:]; k += 2
@@ -483,7 +512,7 @@ def _first_component_kernel(plan, uniform, variant, n_cross, n_remote,
         p, e = _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl,
                             grouped_rows=(variant == "rows"),
                             lane_ref=lane_ref,
-                            tlane=(variant == "tlane"))
+                            tlane=(variant == "tlane"), sl=sl)
     half = np.float32(0.5 * sign)
     v1h, v1l = _two_sum(_b(half * p), _b(half * e))  # exact halving + renorm
 
@@ -720,10 +749,11 @@ def cheby_step_fused_dd(
     n_cross = plan.n_cross
     n_remote = len(extra_gs)
     variant = _variant(fast)
-    if variant in ("sigma", "lomxu", "tlane") and not uniform:
+    if variant in ("sigma", "lomxu", "tlane", "xcross") and not uniform:
         # σ-extraction / lo-MXU lane paths: uniform coefficients only
         variant = "twosum"
-    fast = variant in ("sigma", "lomxu", "tlane")
+    fast = variant in ("sigma", "lomxu", "tlane", "xcross")
+    xcross = variant == "xcross"
     # mixed-precision tail (see f32_tail_orders): uniform flip
     # coefficients only.  Sharded remote bits ride the tail too via
     # ``extra_nb_hi_fn(re, im) -> [(re_r, im_r), ...]`` — a HI-only
@@ -807,7 +837,8 @@ def cheby_step_fused_dd(
     # raise the scoped-VMEM cap when big tiles need it (fewer cross
     # bits ↔ bigger tiles is a net win; measured 76 → 101 Gnnz/s at
     # 2^20 going from tile 512 to 1024)
-    blocks = 12 + 2 * n_cross + 2 * n_remote + 4
+    nb_blocks = (n_cross + min(n_cross, 1)) if xcross else 2 * n_cross
+    blocks = 12 + nb_blocks + 2 * n_remote + 4
     # ×2: Mosaic double-buffers grid-varying blocks; +12 tiles for the
     # fast path's scratch planes (q1/q2/r2/S1/S2/Sr + rolled temps);
     # +8 MB headroom.  The chip exposes ~128 MB VMEM (measured; see
@@ -825,12 +856,38 @@ def cheby_step_fused_dd(
 
     dmb_planes = (dmb2_h.reshape(-1, _LANE), dmb2_l.reshape(-1, _LANE))
 
+    if xcross and n_cross:
+        # xcross: the lo-plane cross-tile neighbor sum rides ONE XLA
+        # (T, T) MXU matmul over the tile axis — the 0/1 adjacency of
+        # the n_cross bits, at HIGHEST (≈ 2⁻²⁴ relative; on lo planes
+        # of scale ≤ 2⁻²⁴·M that is ≤ 2⁻⁴⁸·M, inside the dd budget —
+        # the same exactness argument as lomxu's lane matmul).
+        cross01 = jnp.asarray(
+            _flip_adjacency(
+                np.arange(n_cross), np.ones(n_cross)
+            ),
+            dtype=jnp.float32,
+        )
+
+        def cross_sum(plane):
+            v3 = plane.reshape(n_tiles, plan.tile_rows * _LANE)
+            return jnp.dot(
+                cross01, v3, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).reshape(rows, _LANE)
+
     def comp_specs():
         specs = [lane_spec] if fast else []
         specs += [vec, vec]
-        for j in range(n_cross):
-            # cross bit j is row bit (n_row_bits + j) → tile-index bit j
-            specs += [_neighbor_spec(plan.tile_rows, j)] * 2
+        if xcross:
+            for j in range(n_cross):
+                specs += [_neighbor_spec(plan.tile_rows, j)]  # hi only
+            if n_cross:
+                specs += [vec]  # combined lo cross-sum plane
+        else:
+            for j in range(n_cross):
+                # cross bit j is row bit (n_row_bits + j) → tile bit j
+                specs += [_neighbor_spec(plan.tile_rows, j)] * 2
         specs += [vec] * (2 * n_remote)  # remote planes, own tiling
         specs += [vec] * 6  # dmb(2), v0x(2), phix(2)
         return specs
@@ -840,8 +897,13 @@ def cheby_step_fused_dd(
         lo) pairs of the Y component from the extra-bit hook."""
         args = [lane01] if fast else []
         args += list(v1y)
-        for _ in range(n_cross):
-            args += list(v1y)  # same planes, neighbor-indexed specs
+        if xcross:
+            args += [v1y[0]] * n_cross  # hi plane, neighbor-indexed
+            if n_cross:
+                args += [cross_sum(v1y[1])]
+        else:
+            for _ in range(n_cross):
+                args += list(v1y)  # same planes, neighbor-indexed specs
         for pair in remote_y:
             args += list(pair)
         args += list(dmb_planes) + list(v0x) + list(phix)
@@ -869,15 +931,26 @@ def cheby_step_fused_dd(
     def run_first_component(sgn, a01, v0y, remote_y, v0x):
         args = [lane01] if fast else []
         args += list(v0y)
-        for _ in range(n_cross):
-            args += list(v0y)
+        if xcross:
+            args += [v0y[0]] * n_cross
+            if n_cross:
+                args += [cross_sum(v0y[1])]
+        else:
+            for _ in range(n_cross):
+                args += list(v0y)
         for pair in remote_y:
             args += list(pair)
         args += list(dmb_planes) + list(v0x)
         specs = [lane_spec] if fast else []
         specs += [vec, vec]
-        for j in range(n_cross):
-            specs += [_neighbor_spec(plan.tile_rows, j)] * 2
+        if xcross:
+            specs += [_neighbor_spec(plan.tile_rows, j)
+                      for j in range(n_cross)]
+            if n_cross:
+                specs += [vec]
+        else:
+            for j in range(n_cross):
+                specs += [_neighbor_spec(plan.tile_rows, j)] * 2
         specs += [vec] * (2 * n_remote)
         specs += [vec] * 4
         kern = partial(
@@ -955,22 +1028,36 @@ def cheby_step_fused_dd(
         pht_re, pht_im = zero, zero
 
         n_remote_tail = n_remote if extra_nb_hi_fn is not None else 0
+        # xcross: the tail's n_cross neighbor reads collapse to ONE
+        # pre-combined cross-sum plane (tail values are full-scale, but
+        # the MXU HIGHEST error ≈ 2⁻²⁴ relative is inside the tail's
+        # own eps32 ≈ 3e-7 budget)
+        n_cross_tail = min(n_cross, 1) if xcross else n_cross
         tspecs_common = (
             [lane_spec, vec]
-            + [_neighbor_spec(plan.tile_rows, j) for j in range(n_cross)]
+            + (
+                [vec] * n_cross_tail if xcross
+                else [_neighbor_spec(plan.tile_rows, j)
+                      for j in range(n_cross)]
+            )
             + [vec] * n_remote_tail
             + [vec, vec, vec]
         )
 
         def run_tail_component(sgn, a_k1, v1y, rem_y, v0x, phtx):
             args = [lane01, v1y]
-            args += [v1y] * n_cross  # neighbor-indexed reads
+            if xcross:
+                if n_cross:
+                    args += [cross_sum(v1y)]
+            else:
+                args += [v1y] * n_cross  # neighbor-indexed reads
             args += list(rem_y)  # remote device-bit planes (hi only)
             args += [dmb_planes[0], v0x, phtx]
             n_in = 2 + len(args)
             aliases = {n_in - 2: 0, n_in - 1: 1}
             kern = partial(
-                _tail_component_kernel, plan, n_cross, n_remote_tail, sgn,
+                _tail_component_kernel, plan, n_cross_tail,
+                n_remote_tail, sgn,
             )
             return pl.pallas_call(
                 lambda a_ref, gs_ref, *r: kern(a_ref, gs_ref, *r),

@@ -339,3 +339,26 @@ def test_dd_kernel_multi_static_diag_terms():
     psi_dd, _ = cheby_propagate_fused(psi0, op, tlist, kernel="dd", **kw)
     psi_xla, _ = cheby_propagate_fused(psi0, op, tlist, kernel="xla", **kw)
     assert np.abs(np.asarray(psi_dd) - np.asarray(psi_xla)).max() < 1e-12
+
+
+def test_dd_xcross_variant(problem):
+    """'xcross' variant (VERDICT r3 item 7): the lo-plane cross-tile
+    neighbor sum rides one XLA (T,T) MXU matmul instead of n_cross
+    XOR-scattered plane reads — must match the f64 kernel to 1e-13,
+    with and without the f32 tail."""
+    op, diag64, psi, e_min, delta = problem
+    dt = 0.05
+    c = cheby_coeffs(delta, dt)
+    plan = make_flip_plan(L, g, tile_rows=8)
+    dmb_h, dmb_l = _dmb(diag64, delta, e_min)
+    state0 = (*dd_split(psi.real), *dd_split(psi.imag))
+    expected = np.asarray(
+        cheby_apply(op, jnp.asarray(psi), jnp.asarray(c), delta, e_min, dt)
+    )
+    for tail in (0, 4):
+        state = cheby_step_fused_dd(
+            plan, dmb_h, dmb_l, state0, *dd_coeffs(delta, dt),
+            delta, e_min, dt, interpret=True, fast="xcross",
+            f32_tail=tail,
+        )
+        assert np.abs(merge(state) - expected).max() < 1e-13, tail
