@@ -464,6 +464,55 @@ def bench_optomech():
     )
     log(f"  df64 BSR cheby at dim {H2sym.shape[0]} "
         f"({len(c2)} orders/step): {dd2_gnnz:.2f} Gnnz/s")
+
+    # Pallas banded dd kernel (VERDICT r3 item 5 follow-through): the
+    # XLA dd chain streams its error-free product planes through HBM;
+    # the Pallas kernel keeps the compensated contraction VMEM-resident
+    # (ops/bsr_dd_pallas.py).  Cross-checked against the XLA chain's
+    # own on-chip result (the b=128 production configuration has no
+    # tractable interpret-mode test — see tests/test_bsr_dd_pallas.py).
+    from quantumpropagators.ops.bsr_dd_pallas import (
+        banded_dd_from_scipy, cheby_apply_dd_banded,
+    )
+
+    opb = banded_dd_from_scipy(H2sym)
+    log(f"  banded re-block: offsets={opb.offsets}, R={opb.R}, "
+        f"b={opb.b}")
+
+    def run_banded(z):
+        for _ in range(n2_steps):
+            z = cheby_apply_dd_banded(opb, z, c2, d2, e2, dt2,
+                                      tile_rows=8)
+        return z
+
+    zb = run_banded(z2)  # compile
+    # cross-check one propagation vs the XLA dd chain (both on-chip)
+    z_ref = z2
+    for _ in range(n2_steps):
+        z_ref = cheby_apply_dd_bsr(op2_dd, z_ref, c2, d2, e2, dt2)
+    diff = float(
+        jnp.max(
+            jnp.abs((zb.re.hi - z_ref.re.hi) + (zb.re.lo - z_ref.re.lo))
+        )
+        + jnp.max(
+            jnp.abs((zb.im.hi - z_ref.im.hi) + (zb.im.lo - z_ref.im.lo))
+        )
+    )
+    t0 = time.perf_counter()
+    jax.block_until_ready(run_banded(z2).re.hi)
+    t_a = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out_b = run_banded(z2)
+    jax.block_until_ready(out_b.re.hi)
+    t_b = time.perf_counter() - t0
+    banded_elapsed = max(t_b - t_a, 1e-9) / 2
+    banded_gnnz = (
+        n2_steps * (len(c2) - 1) * 2 * H2sym.nnz / banded_elapsed / 1e9
+    )
+    log(f"  Pallas banded dd cheby at dim {H2sym.shape[0]}: "
+        f"{banded_gnnz:.2f} Gnnz/s (logical nnz), "
+        f"vs-XLA-dd diff={diff:.2e}")
     print(json.dumps({
         "metric": "optomech_bsr_spmv_throughput",
         "value": round(rates["bsr"], 3),

@@ -1,0 +1,140 @@
+"""Round-4 probe: is the 2^22+ dd-kernel gap (55% of streaming)
+caused by the XOR-SCATTERED neighbor reads, or is it a plain
+many-block streaming limit?
+
+Three kernels over the same (rows, 128) f32 planes, tile_rows=1024,
+identical block count (16 inputs + 2 outputs):
+
+- ``seq``:     all 16 inputs read with the IDENTITY index map
+               (pure streaming; neighbor blocks happen to be the
+               tile's own block)
+- ``scatter``: 7 of the 16 inputs read with XOR index maps
+               ``i ^ 2^j`` (the dd kernel's neighbor pattern)
+- ``stride``:  7 of the 16 inputs read at a FIXED offset
+               ``(i + 2^j) % T`` (non-local but monotone — separates
+               "non-identity index map" from "XOR bit pattern")
+
+Each kernel computes a trivial running sum (VPU-negligible) so the
+measured rate is HBM movement.  Run on the chip:
+
+    python docs/profiling/probe_scatter_r4.py --L 22
+
+Findings feed docs/benchmarks.md's roofline section (VERDICT r3
+item 7: demonstrate whether the scatter bound is structural).
+"""
+
+import argparse
+import sys
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS = False
+
+LANE = 128
+N_IN = 16
+N_XOR = 7
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def kernel(n_in, *refs):
+    ins = refs[:n_in]
+    o1, o2 = refs[n_in:]
+    s = ins[0][:]
+    for r in ins[1:]:
+        s = s + r[:]
+    o1[:] = s
+    o2[:] = s * np.float32(0.5)
+
+
+def build(mode, rows, tile_rows):
+    n_tiles = rows // tile_rows
+    kw = {"memory_space": pltpu.VMEM} if _HAS else {}
+    vec = pl.BlockSpec((tile_rows, LANE), lambda i: (i, 0), **kw)
+
+    def xor_spec(j):
+        return pl.BlockSpec(
+            (tile_rows, LANE), lambda i, _j=j: (i ^ (1 << _j), 0), **kw
+        )
+
+    def stride_spec(j):
+        return pl.BlockSpec(
+            (tile_rows, LANE),
+            lambda i, _j=j, _T=n_tiles: ((i + (1 << _j)) % _T, 0), **kw
+        )
+
+    if mode == "seq":
+        specs = [vec] * N_IN
+    else:
+        mk = xor_spec if mode == "scatter" else stride_spec
+        specs = [vec] * (N_IN - N_XOR) + [mk(j) for j in range(N_XOR)]
+
+    cparams = (
+        pltpu.CompilerParams(dimension_semantics=("arbitrary",))
+        if _HAS else None
+    )
+    ckw = {"compiler_params": cparams} if cparams else {}
+
+    @jax.jit
+    def run(*planes):
+        return pl.pallas_call(
+            partial(kernel, N_IN),
+            grid=(n_tiles,),
+            in_specs=specs,
+            out_specs=[vec, vec],
+            out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32)] * 2,
+            **ckw,
+        )(*planes)
+
+    return run
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--L", type=int, default=22)
+    ap.add_argument("--tile-rows", type=int, default=1024)
+    ap.add_argument("--reps", type=int, default=30)
+    args = ap.parse_args()
+    rows = (1 << args.L) // LANE
+    rng = np.random.default_rng(0)
+    planes = [
+        jnp.asarray(rng.standard_normal((rows, LANE)), dtype=jnp.float32)
+        for _ in range(N_IN)
+    ]
+    nbytes = (N_IN + 2) * rows * LANE * 4
+    log(f"L={args.L}: {N_IN} in + 2 out planes, "
+        f"{nbytes / 2**30:.2f} GiB per invocation")
+    for mode in ("seq", "stride", "scatter"):
+        run = build(mode, rows, args.tile_rows)
+        out = run(*planes)
+        jax.block_until_ready(out)
+        # difference a 1x vs 3x loop to cancel dispatch overhead
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            out = run(*planes)
+        jax.block_until_ready(out)
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(3 * args.reps):
+            out = run(*planes)
+        jax.block_until_ready(out)
+        t3 = time.perf_counter() - t0
+        per = max(t3 - t1, 1e-9) / (2 * args.reps)
+        log(f"{mode:8s}: {nbytes / per / 1e9:7.1f} GB/s "
+            f"({per * 1e3:.2f} ms/invocation)")
+
+
+if __name__ == "__main__":
+    main()

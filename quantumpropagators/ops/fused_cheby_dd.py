@@ -870,9 +870,12 @@ def cheby_step_fused_dd(
         )
 
         def cross_sum(plane):
-            v3 = plane.reshape(n_tiles, plan.tile_rows * _LANE)
-            return jnp.dot(
-                cross01, v3, preferred_element_type=jnp.float32,
+            # leading-axis split/merge only — NO lane relayout (a
+            # (rows, 128) → (T, tr·128) flatten would physically
+            # re-tile the array, costing two full HBM passes)
+            v3 = plane.reshape(n_tiles, plan.tile_rows, _LANE)
+            return jnp.tensordot(
+                cross01, v3, axes=(1, 0),
                 precision=jax.lax.Precision.HIGHEST,
             ).reshape(rows, _LANE)
 
