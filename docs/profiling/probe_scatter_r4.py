@@ -82,13 +82,17 @@ def build(mode, rows, tile_rows):
         specs = [vec] * (N_IN - N_XOR) + [mk(j) for j in range(N_XOR)]
 
     cparams = (
-        pltpu.CompilerParams(dimension_semantics=("arbitrary",))
+        pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # (N_IN+2) blocks ×2 double-buffered exceeds the default
+            # 16 MB scoped-vmem cap at tile 1024
+            vmem_limit_bytes=64 << 20,
+        )
         if _HAS else None
     )
     ckw = {"compiler_params": cparams} if cparams else {}
 
-    @jax.jit
-    def run(*planes):
+    def call(*planes):
         return pl.pallas_call(
             partial(kernel, N_IN),
             grid=(n_tiles,),
@@ -97,6 +101,23 @@ def build(mode, rows, tile_rows):
             out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32)] * 2,
             **ckw,
         )(*planes)
+
+    # this tunnel's block_until_ready under-reports and separate
+    # dispatches pipeline: chain n invocations in ONE jitted scan
+    # (outputs feed the first two inputs — a real data dependence) and
+    # time through a scalar transfer, differencing n vs 3n like
+    # bench.py
+    @partial(jax.jit, static_argnames=("n",))
+    def run(planes, n):
+        a, b = planes[0], planes[1]
+        rest = list(planes[2:])
+
+        def body(carry, _):
+            o1, o2 = call(carry[0], carry[1], *rest)
+            return (o1, o2), None
+
+        (a, b), _ = jax.lax.scan(body, (a, b), None, length=n)
+        return jnp.sum(a)
 
     return run
 
@@ -110,7 +131,9 @@ def main():
     rows = (1 << args.L) // LANE
     rng = np.random.default_rng(0)
     planes = [
-        jnp.asarray(rng.standard_normal((rows, LANE)), dtype=jnp.float32)
+        jnp.asarray(
+            rng.standard_normal((rows, LANE)) * 1e-3, dtype=jnp.float32
+        )
         for _ in range(N_IN)
     ]
     nbytes = (N_IN + 2) * rows * LANE * 4
@@ -118,20 +141,16 @@ def main():
         f"{nbytes / 2**30:.2f} GiB per invocation")
     for mode in ("seq", "stride", "scatter"):
         run = build(mode, rows, args.tile_rows)
-        out = run(*planes)
-        jax.block_until_ready(out)
-        # difference a 1x vs 3x loop to cancel dispatch overhead
+        n = args.reps
+        float(run(planes, n))
+        float(run(planes, 3 * n))  # compile both
         t0 = time.perf_counter()
-        for _ in range(args.reps):
-            out = run(*planes)
-        jax.block_until_ready(out)
+        float(run(planes, n))
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        for _ in range(3 * args.reps):
-            out = run(*planes)
-        jax.block_until_ready(out)
+        float(run(planes, 3 * n))
         t3 = time.perf_counter() - t0
-        per = max(t3 - t1, 1e-9) / (2 * args.reps)
+        per = max(t3 - t1, 1e-9) / (2 * n)
         log(f"{mode:8s}: {nbytes / per / 1e9:7.1f} GB/s "
             f"({per * 1e3:.2f} ms/invocation)")
 

@@ -164,19 +164,90 @@ def run_config_banded_dd(n_dev: int, R_local: int, b: int, steps: int,
     return matvecs * nnz / elapsed / 1e9
 
 
+def run_config_hypercube_dd(n_dev: int, L: int, steps: int, dt: float):
+    """Weak-scaling point for the hypercube regime at REFERENCE
+    accuracy: the sharded df64 fused kernel (4-plane device-bit
+    ppermute exchange, f32 tail with hi-only exchange)."""
+    import jax
+    import jax.numpy as jnp
+
+    from quantumpropagators.models.lattice import (
+        chain_bonds, ising_diagonal_np,
+    )
+    from quantumpropagators.ops.cheby import cheby_coeffs
+    from quantumpropagators.parallel.mesh import chain_mesh, shard_vector
+    from quantumpropagators.parallel.sharded_fused import (
+        make_sharded_fused_cheby_step_dd,
+    )
+
+    J, g, h = 1.0, 1.2, 0.3
+    diag64 = ising_diagonal_np(L, chain_bonds(L), J, h)
+    bound = J * (L - 1) + abs(h) * L + g * L
+    e_min, delta = -bound, 2 * bound
+    beta = delta / 2.0 + e_min
+    on_tpu = jax.devices()[0].platform == "tpu"
+    mesh = chain_mesh(n_dev)
+    step = make_sharded_fused_cheby_step_dd(
+        mesh, L, g, delta=delta, e_min=e_min, dt=dt,
+        tile_rows=(None if on_tpu else 8), interpret=not on_tpu,
+    )
+
+    def dd_split(x64):
+        hi = np.asarray(x64, np.float64).astype(np.float32)
+        return (
+            jnp.asarray(hi),
+            jnp.asarray((x64 - hi.astype(np.float64)).astype(np.float32)),
+        )
+
+    rng = np.random.default_rng(0)
+    psi = rng.standard_normal(2 ** L) + 1j * rng.standard_normal(2 ** L)
+    psi /= np.linalg.norm(psi)
+    c64 = cheby_coeffs(delta, dt)
+    c_h, c_l = dd_split(c64)
+    dmb_h, dmb_l = dd_split(diag64 - beta)
+    dmb_h = shard_vector(mesh, dmb_h)
+    dmb_l = shard_vector(mesh, dmb_l)
+    state4 = tuple(
+        shard_vector(mesh, p)
+        for p in (*dd_split(psi.real), *dd_split(psi.imag))
+    )
+
+    def run(n, st):
+        for _ in range(n):
+            st = step(dmb_h, dmb_l, tuple(st), c_h, c_l)
+        jax.block_until_ready(st)
+        return st
+
+    st = run(2, state4)
+    t0 = time.perf_counter()
+    run(steps, st)
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run(3 * steps, st)
+    t3 = time.perf_counter() - t0
+    elapsed = max(t3 - t1, 1e-9)
+    matvecs = 2 * steps * (c64.shape[0] - 1)
+    nnz = (L + 1) * 2 ** L
+    return matvecs * nnz / elapsed / 1e9
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--L-base", type=int, default=14)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--dt", type=float, default=0.05)
-    ap.add_argument("--mode", choices=("hypercube", "banded-dd", "both"),
+    ap.add_argument("--mode",
+                    choices=("hypercube", "hypercube-dd", "banded-dd",
+                             "both", "all"),
                     default="both",
                     help="hypercube = spin-chain device-bit ppermute "
-                         "exchange (ICI-bound regime); banded-dd = df64 "
-                         "BSR halo exchange at reference accuracy (the "
-                         "weak-scaling regime of the >=80% BASELINE "
-                         "target); both = run the banded headline plus "
-                         "the hypercube table")
+                         "exchange (ICI-bound regime, f32); "
+                         "hypercube-dd = same regime at reference "
+                         "accuracy (sharded df64 fused kernel); "
+                         "banded-dd = df64 BSR halo exchange at "
+                         "reference accuracy (the weak-scaling regime "
+                         "of the >=80% BASELINE target); both = banded "
+                         "headline + hypercube; all = all three")
     ap.add_argument("--R-local", type=int, default=64,
                     help="banded-dd: block-rows per device")
     ap.add_argument("--block", type=int, default=32,
@@ -230,7 +301,7 @@ def main():
         return results
 
     tables = {}
-    if args.mode in ("banded-dd", "both"):
+    if args.mode in ("banded-dd", "both", "all"):
         log("=== banded-dd regime (reference accuracy, halo exchange) ===")
         tables["banded_dd"] = table_for(
             lambda n: (
@@ -240,11 +311,21 @@ def main():
                 f"R_local={args.R_local},b={args.block}",
             )
         )
-    if args.mode in ("hypercube", "both"):
+    if args.mode in ("hypercube", "both", "all"):
         log("=== hypercube regime (spin chain, device-bit exchange) ===")
         tables["hypercube"] = table_for(
             lambda n: (
                 run_config(
+                    n, args.L_base + int(np.log2(n)), args.steps, args.dt
+                ),
+                f"L={args.L_base + int(np.log2(n))}",
+            )
+        )
+    if args.mode in ("hypercube-dd", "all"):
+        log("=== hypercube regime at REFERENCE accuracy (sharded dd) ===")
+        tables["hypercube_dd"] = table_for(
+            lambda n: (
+                run_config_hypercube_dd(
                     n, args.L_base + int(np.log2(n)), args.steps, args.dt
                 ),
                 f"L={args.L_base + int(np.log2(n))}",
