@@ -337,7 +337,11 @@ def main():
     # size; SCALING.md §2b).  The hypercube (spin-model) regime is
     # ICI-bound by its full-shard exchange volume and is reported as a
     # secondary table with its own model-derived ceiling.
-    head = tables.get("banded_dd") or tables["hypercube"]
+    head = (
+        tables.get("banded_dd")
+        or tables.get("hypercube")
+        or tables["hypercube_dd"]
+    )
     last = head[counts[-1]]
     out = {
         "metric": "weak_scaling_efficiency",
@@ -350,7 +354,10 @@ def main():
             (last["total_retention"] if shared else last["efficiency"])
             / 0.8, 3
         ),
-        "regime": "banded_dd" if "banded_dd" in tables else "hypercube",
+        "regime": next(
+            r for r in ("banded_dd", "hypercube", "hypercube_dd")
+            if r in tables
+        ),
         "tables": tables,
         "note": (
             "virtual CPU devices share one socket: per-device efficiency "

@@ -91,8 +91,72 @@ def main():
     nrm = float(jnp.linalg.norm(out))
     assert abs(nrm - 1.0) < 1e-12, nrm
 
+    # banded df64 BSR step across the process boundary (BASELINE
+    # config 5 at reference accuracy — the dd halo exchange crosses
+    # the 2-process gap, round 4)
+    import scipy.sparse as sp
+
+    from quantumpropagators.parallel.sharded_bsr import (
+        make_sharded_bsr_cheby_step_dd,
+        partition_bsr_dd,
+    )
+
+    rngb = np.random.default_rng(13)  # same seed on both processes
+    Rb, bb = 16, 8
+    Nb = Rb * bb
+    rows_b, cols_b, blocks_b = [], [], []
+    for r in range(Rb):
+        for c in (r - 1, r, r + 1):
+            if 0 <= c < Rb:
+                rows_b.append(r)
+                cols_b.append(c)
+                blocks_b.append(rngb.normal(size=(bb, bb)))
+    indptr = np.concatenate(
+        [[0], np.cumsum(np.bincount(rows_b, minlength=Rb))]
+    ).astype(np.int64)
+    Ab = sp.bsr_matrix(
+        (np.stack(blocks_b), np.asarray(cols_b), indptr), shape=(Nb, Nb)
+    ).tocsr()
+    Ab = (0.5 * (Ab + Ab.T)).tocsr()
+    pb = partition_bsr_dd(Ab, 4, block_size=bb)
+    assert pb.halo_blocks == 1
+    bound_b = float(np.abs(Ab).sum(axis=1).max())
+    delta_b, dt_b = 2 * bound_b, 0.05
+    c64 = cheby_coeffs(delta_b, dt_b)
+    c_h = jnp.asarray(c64.astype(np.float32))
+    c_l = jnp.asarray((c64 - c64.astype(np.float32)).astype(np.float32))
+    psib = rngb.standard_normal(Nb) + 1j * rngb.standard_normal(Nb)
+    psib /= np.linalg.norm(psib)
+
+    def dd_split(x64):
+        hi = np.asarray(x64, np.float64).astype(np.float32)
+        return hi, (x64 - hi.astype(np.float64)).astype(np.float32)
+
+    planes = (*dd_split(psib.real), *dd_split(psib.imag))
+    state4 = tuple(
+        jax.make_array_from_callback(
+            (Nb,), NamedSharding(mesh, P("x")), lambda idx, p=p: p[idx]
+        )
+        for p in planes
+    )
+    dstep = make_sharded_bsr_cheby_step_dd(
+        mesh, pb, delta=delta_b, e_min=-bound_b, dt=dt_b
+    )
+    outdd = dstep(pb, state4, c_h, c_l)
+    g4 = [
+        np.asarray(multihost_utils.process_allgather(o, tiled=True))
+        for o in outdd
+    ]
+    gotdd = (
+        g4[0].astype(np.float64) + g4[1]
+    ) + 1j * (g4[2].astype(np.float64) + g4[3])
+    exp_dd = expm(-1j * dt_b * Ab.toarray()) @ psib
+    err_dd = float(np.abs(gotdd - exp_dd).max())
+    assert err_dd < 1e-12, f"cross-process dd BSR step error {err_dd:.3e}"
+
     jax.distributed.shutdown()
-    print(f"OK process={pid} err={err:.3e}", flush=True)
+    print(f"OK process={pid} err={err:.3e} dd_bsr_err={err_dd:.3e}",
+          flush=True)
 
 
 if __name__ == "__main__":
