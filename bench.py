@@ -527,6 +527,8 @@ def bench_optomech():
                   "scaled_csr_gnnzs": round(rates2["csr"], 3),
                   "scaled_speedup": round(rates2["bsr"] / rates2["csr"], 2),
                   "scaled_dd_gnnzs": round(dd2_gnnz, 3),
+                  "scaled_banded_pallas_dd_gnnzs": round(banded_gnnz, 3),
+                  "banded_vs_xla_dd_diff": diff,
                   "platform": dev.platform},
     }), flush=True)
 

@@ -49,30 +49,44 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def kernel(n_in, *refs):
+def kernel(n_in, flops, *refs):
     ins = refs[:n_in]
     o1, o2 = refs[n_in:]
     s = ins[0][:]
     for r in ins[1:]:
         s = s + r[:]
-    o1[:] = s
+    # optional VPU load (--flops): measures how much per-element
+    # compute the pipeline can hide under the same DMA schedule — the
+    # dd kernel runs ~400 op-equivalents/elem/order
+    t = s
+    for _ in range(flops // 2):
+        t = t * np.float32(0.9999) + s
+    o1[:] = t
     o2[:] = s * np.float32(0.5)
 
 
-def build(mode, rows, tile_rows):
+def build(mode, rows, tile_rows, flops=0):
     n_tiles = rows // tile_rows
     kw = {"memory_space": pltpu.VMEM} if _HAS else {}
     vec = pl.BlockSpec((tile_rows, LANE), lambda i: (i, 0), **kw)
 
+    # XOR bits must stay inside the grid (i ^ 2^j < n_tiles — an
+    # out-of-range block index is a runtime Internal error); cycle
+    # through the available tile-index bits like the dd kernel's
+    # n_cross ≤ log2(n_tiles) invariant
+    n_bits = max(1, int(np.log2(n_tiles)))
+
     def xor_spec(j):
+        d = 1 << (j % n_bits)
         return pl.BlockSpec(
-            (tile_rows, LANE), lambda i, _j=j: (i ^ (1 << _j), 0), **kw
+            (tile_rows, LANE), lambda i, _d=d: (i ^ _d, 0), **kw
         )
 
     def stride_spec(j):
+        d = 1 << (j % n_bits)
         return pl.BlockSpec(
             (tile_rows, LANE),
-            lambda i, _j=j, _T=n_tiles: ((i + (1 << _j)) % _T, 0), **kw
+            lambda i, _d=d, _T=n_tiles: ((i + _d) % _T, 0), **kw
         )
 
     if mode == "seq":
@@ -83,7 +97,10 @@ def build(mode, rows, tile_rows):
 
     cparams = (
         pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            # "parallel" like the dd kernel — XOR index maps under
+            # "arbitrary" (sequential) semantics hit a runtime
+            # Internal error on this toolchain (reproduced twice)
+            dimension_semantics=("parallel",),
             # (N_IN+2) blocks ×2 double-buffered exceeds the default
             # 16 MB scoped-vmem cap at tile 1024
             vmem_limit_bytes=64 << 20,
@@ -94,7 +111,7 @@ def build(mode, rows, tile_rows):
 
     def call(*planes):
         return pl.pallas_call(
-            partial(kernel, N_IN),
+            partial(kernel, N_IN, flops),
             grid=(n_tiles,),
             in_specs=specs,
             out_specs=[vec, vec],
@@ -127,6 +144,10 @@ def main():
     ap.add_argument("--L", type=int, default=22)
     ap.add_argument("--tile-rows", type=int, default=1024)
     ap.add_argument("--reps", type=int, default=30)
+    ap.add_argument("--flops", type=int, default=0,
+                    help="extra VPU flops per element inside the "
+                         "kernel (overlap test: the dd kernel runs "
+                         "~400 op-equivalents/elem/order)")
     args = ap.parse_args()
     rows = (1 << args.L) // LANE
     rng = np.random.default_rng(0)
@@ -140,7 +161,7 @@ def main():
     log(f"L={args.L}: {N_IN} in + 2 out planes, "
         f"{nbytes / 2**30:.2f} GiB per invocation")
     for mode in ("seq", "stride", "scatter"):
-        run = build(mode, rows, args.tile_rows)
+        run = build(mode, rows, args.tile_rows, args.flops)
         n = args.reps
         float(run(planes, n))
         float(run(planes, 3 * n))  # compile both
