@@ -97,9 +97,9 @@ def build(mode, rows, tile_rows, flops=0):
 
     cparams = (
         pltpu.CompilerParams(
-            # "parallel" like the dd kernel — XOR index maps under
-            # "arbitrary" (sequential) semantics hit a runtime
-            # Internal error on this toolchain (reproduced twice)
+            # "parallel" like the dd kernel (an earlier revision
+            # crashed with out-of-range XOR block indices — bits ≥
+            # log2(n_tiles) — under either semantics; fixed above)
             dimension_semantics=("parallel",),
             # (N_IN+2) blocks ×2 double-buffered exceeds the default
             # 16 MB scoped-vmem cap at tile 1024
@@ -139,6 +139,105 @@ def build(mode, rows, tile_rows, flops=0):
     return run
 
 
+def build_manual(rows, tile_rows, flops, interpret=False):
+    """MANUAL double-buffered DMA variant: inputs live in HBM (ANY
+    memory space), the kernel prefetches chunk i+1's 16 planes while
+    computing chunk i — the overlap Mosaic's automatic grid pipeline
+    does NOT deliver under compute load (measured: +400 flops/elem
+    halves the automatic pipeline's streaming rate)."""
+    CH = tile_rows
+    n_chunks = rows // CH
+
+    def kernel(*refs):
+        ins = refs[:N_IN]
+        out = refs[N_IN]
+
+        def body(in_scr, out_scr, in_sem, out_sem):
+            def dma_in(slot, ci, j):
+                return pltpu.make_async_copy(
+                    ins[j].at[pl.ds(ci * CH, CH)],
+                    in_scr.at[slot, j],
+                    in_sem.at[slot, j],
+                )
+
+            def dma_out(slot, ci):
+                return pltpu.make_async_copy(
+                    out_scr.at[slot],
+                    out.at[pl.ds(ci * CH, CH)],
+                    out_sem.at[slot],
+                )
+
+            for j in range(N_IN):
+                dma_in(0, 0, j).start()
+
+            def loop(ci, _):
+                cur = ci % 2
+                nxt = (ci + 1) % 2
+
+                @pl.when(ci + 1 < n_chunks)
+                def _():
+                    for j in range(N_IN):
+                        dma_in(nxt, ci + 1, j).start()
+
+                for j in range(N_IN):
+                    dma_in(cur, ci, j).wait()
+                # the out DMA issued 2 chunks ago reused this slot
+                @pl.when(ci >= 2)
+                def _():
+                    dma_out(cur, ci - 2).wait()
+
+                s = in_scr[cur, 0]
+                for j in range(1, N_IN):
+                    s = s + in_scr[cur, j]
+                t = s
+                for _ in range(flops // 2):
+                    t = t * np.float32(0.9999) + s
+                out_scr[cur] = t
+                dma_out(cur, ci).start()
+                return ()
+
+            jax.lax.fori_loop(0, n_chunks, loop, (),
+                              unroll=False)
+            # drain the last two out DMAs
+            @pl.when(n_chunks >= 2)
+            def _():
+                dma_out((n_chunks - 2) % 2, n_chunks - 2).wait()
+            dma_out((n_chunks - 1) % 2, n_chunks - 1).wait()
+
+        pl.run_scoped(
+            body,
+            in_scr=pltpu.VMEM((2, N_IN, CH, LANE), jnp.float32),
+            out_scr=pltpu.VMEM((2, CH, LANE), jnp.float32),
+            in_sem=pltpu.SemaphoreType.DMA((2, N_IN)),
+            out_sem=pltpu.SemaphoreType.DMA((2,)),
+        )
+
+    kw = {"memory_space": pl.ANY} if _HAS else {}
+    anyspec = pl.BlockSpec(**kw)
+
+    def call(*planes):
+        return pl.pallas_call(
+            kernel,
+            in_specs=[anyspec] * N_IN,
+            out_specs=anyspec,
+            out_shape=jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+            interpret=interpret,
+        )(*planes)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def run(planes, n):
+        a = planes[0]
+        rest = list(planes[1:])
+
+        def sbody(carry, _):
+            return call(carry, *rest), None
+
+        a, _ = jax.lax.scan(sbody, a, None, length=n)
+        return jnp.sum(a)
+
+    return run
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--L", type=int, default=22)
@@ -148,6 +247,11 @@ def main():
                     help="extra VPU flops per element inside the "
                          "kernel (overlap test: the dd kernel runs "
                          "~400 op-equivalents/elem/order)")
+    ap.add_argument("--interpret", action="store_true",
+                    help="interpret mode (CPU smoke test)")
+    ap.add_argument("--manual", action="store_true",
+                    help="manual double-buffered DMA variant instead "
+                         "of the three auto-pipelined modes")
     args = ap.parse_args()
     rows = (1 << args.L) // LANE
     rng = np.random.default_rng(0)
@@ -157,6 +261,26 @@ def main():
         )
         for _ in range(N_IN)
     ]
+    if args.manual:
+        nbytes = (N_IN + 1) * rows * LANE * 4
+        log(f"L={args.L} MANUAL dma, flops={args.flops}: "
+            f"{nbytes / 2**30:.2f} GiB per invocation")
+        run = build_manual(rows, args.tile_rows, args.flops,
+                           interpret=args.interpret)
+        n = args.reps
+        float(run(planes, n))
+        float(run(planes, 3 * n))
+        t0 = time.perf_counter()
+        float(run(planes, n))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(run(planes, 3 * n))
+        t3 = time.perf_counter() - t0
+        per = max(t3 - t1, 1e-9) / (2 * n)
+        log(f"manual  : {nbytes / per / 1e9:7.1f} GB/s "
+            f"({per * 1e3:.2f} ms/invocation)")
+        return
+
     nbytes = (N_IN + 2) * rows * LANE * 4
     log(f"L={args.L}: {N_IN} in + 2 out planes, "
         f"{nbytes / 2**30:.2f} GiB per invocation")
