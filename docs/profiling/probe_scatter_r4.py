@@ -215,6 +215,12 @@ def build_manual(rows, tile_rows, flops, interpret=False):
     kw = {"memory_space": pl.ANY} if _HAS else {}
     anyspec = pl.BlockSpec(**kw)
 
+    mparams = (
+        pltpu.CompilerParams(vmem_limit_bytes=64 << 20)
+        if _HAS and not interpret else None
+    )
+    mkw = {"compiler_params": mparams} if mparams else {}
+
     def call(*planes):
         return pl.pallas_call(
             kernel,
@@ -222,6 +228,7 @@ def build_manual(rows, tile_rows, flops, interpret=False):
             out_specs=anyspec,
             out_shape=jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
             interpret=interpret,
+            **mkw,
         )(*planes)
 
     @partial(jax.jit, static_argnames=("n",))
