@@ -627,7 +627,7 @@ def main():
                          "at equal local size (VERDICT r3 item 2)")
     ap.add_argument("--dd-variant",
                     choices=("twosum", "rows", "sigma", "lomxu", "tlane",
-                             "xcross"),
+                             "xcross", "mxq"),
                     default=None,
                     help="dd kernel flip-accumulation variant (overrides "
                          "--fast): lomxu = lo-plane lane flips via one "

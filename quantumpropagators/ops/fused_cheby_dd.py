@@ -303,7 +303,8 @@ def _variant(fast) -> str:
 
 
 def _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl,
-                 grouped_rows=False, lane_ref=None, tlane=False, sl=None):
+                 grouped_rows=False, lane_ref=None, tlane=False, sl=None,
+                 mxq=False):
     """Unnormalized ``H'·v`` for ONE component of v: (p, e) with
     H' = dmb' + Σ_j G_j·flip_j, dmb' = (dh, dl) planes, ``gs_ref`` the
     SMEM table of pre-split (folded) flip scalars, ``nb`` a list of
@@ -318,6 +319,56 @@ def _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl,
         _b(_b(_b(x1 * d1) - p) + _b(x1 * d2) + _b(x2 * d1)) + _b(x2 * d2)
     ) + _b(vh * dl) + _b(vl * dh)
 
+    if uniform and lane_ref is not None and mxq:
+        # "mxq" (round 4): the MXU at HIGHEST is BIT-EXACT for inputs
+        # on ≤16-bit mantissa grids (measured, probe_mxu_grid_r4 —
+        # round 3 had only tested the full 24-bit case).  So the HI
+        # plane's lane-flip sum — the kernel's single largest VPU cost
+        # (7 lane-roll pairs ≈ 150 op-equivalents at the measured ~10×
+        # roll weight) — rides THREE matmuls via a two-level 14-bit
+        # σ-extraction:
+        #   vh = q1 + q2 + r2   (each split exact; Dekker/Rump
+        #                        round-to-grid via (x+C)−C)
+        #   S1 = q1·A, S2 = q2·A   — EXACT (≤16-bit grids, ≤2^17
+        #                            aligned partial sums)
+        #   Sw = (r2 + vl)·A       — HIGHEST error ≈ 5.6e-8·2⁻²⁴·M
+        #                            = 2⁻⁴⁸·M, inside budget (the
+        #                            same bound lomxu's lo matmul
+        #                            already carries)
+        m = jnp.max(jnp.abs(vh))
+        C1 = _b(np.float32(2.0 ** 9) * m)    # grid ≈ m·2^-14
+        q1 = _b(_b(vh + C1) - C1)
+        r1 = _b(vh - q1)                      # exact
+        C2 = _b(np.float32(2.0 ** -5) * m)   # grid ≈ m·2^-28
+        q2 = _b(_b(r1 + C2) - C2)
+        w = _b(r1 - q2) + vl                  # r2 + lo (~2^-24·M)
+
+        def lane_dot(t):
+            return jnp.dot(
+                t, lane_ref[:], preferred_element_type=t.dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        Fh, err = _two_sum(lane_dot(q1), lane_dot(q2))
+        Fc = err + lane_dot(w)
+        rows_idx = jax.lax.broadcasted_iota(jnp.int32, vh.shape, 0)
+        for j in range(plan.n_row_bits):
+            d = 1 << j
+            Fh, err = _two_sum(Fh, _roll_flip(vh, d, 0, rows_idx))
+            Fc = Fc + err + _roll_flip(vl, d, 0, rows_idx)
+        for _, nh, nl in nb:
+            Fh, err = _two_sum(Fh, nh)
+            Fc = Fc + err
+            if nl is not None:
+                Fc = Fc + nl
+        if sl is not None:
+            Fc = Fc + sl
+        g1_, g2_, gl_ = _gs_triple(gs_ref, 0)
+        gh_ = g1_ + g2_
+        q, qe = _prod_presplit(Fh, g1_, g2_, gh_, gl_, xl=Fc)
+        p, err = _two_sum(p, q)
+        e = e + err + qe
+        return p, e
     if uniform and lane_ref is not None:
         # "lomxu": the LO plane's 7 lane flips ride ONE MXU matmul at
         # HIGHEST (error ≤ ~5.6e-8·|vl| ≈ 3e-15·M — inside the dd
@@ -428,7 +479,7 @@ def _iter_component_kernel(plan, uniform, variant, n_cross, n_remote,
     in_tile = plan.L - plan.n_cross
     k = 0
     lane_ref = None
-    if variant in ("sigma", "lomxu", "tlane", "xcross"):
+    if variant in ("sigma", "lomxu", "tlane", "xcross", "mxq"):
         lane_ref = refs[k]; k += 1
     vh, vl = refs[k][:], refs[k + 1][:]; k += 2
     nb = []
@@ -454,7 +505,8 @@ def _iter_component_kernel(plan, uniform, variant, n_cross, n_remote,
         p, e = _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl,
                             grouped_rows=(variant == "rows"),
                             lane_ref=lane_ref,
-                            tlane=(variant == "tlane"), sl=sl)
+                            tlane=(variant == "tlane"), sl=sl,
+                            mxq=(variant == "mxq"))
     if sign < 0:
         p, e = -p, -e
     v2h, err = _two_sum(p, v0h)
@@ -487,7 +539,7 @@ def _first_component_kernel(plan, uniform, variant, n_cross, n_remote,
     in_tile = plan.L - plan.n_cross
     k = 0
     lane_ref = None
-    if variant in ("sigma", "lomxu", "tlane", "xcross"):
+    if variant in ("sigma", "lomxu", "tlane", "xcross", "mxq"):
         lane_ref = refs[k]; k += 1
     vh, vl = refs[k][:], refs[k + 1][:]; k += 2
     nb = []
@@ -512,7 +564,8 @@ def _first_component_kernel(plan, uniform, variant, n_cross, n_remote,
         p, e = _h_component(plan, gs_ref, uniform, vh, vl, nb, dh, dl,
                             grouped_rows=(variant == "rows"),
                             lane_ref=lane_ref,
-                            tlane=(variant == "tlane"), sl=sl)
+                            tlane=(variant == "tlane"), sl=sl,
+                            mxq=(variant == "mxq"))
     half = np.float32(0.5 * sign)
     v1h, v1l = _two_sum(_b(half * p), _b(half * e))  # exact halving + renorm
 
@@ -749,10 +802,11 @@ def cheby_step_fused_dd(
     n_cross = plan.n_cross
     n_remote = len(extra_gs)
     variant = _variant(fast)
-    if variant in ("sigma", "lomxu", "tlane", "xcross") and not uniform:
+    if variant in ("sigma", "lomxu", "tlane", "xcross", "mxq") \
+            and not uniform:
         # σ-extraction / lo-MXU lane paths: uniform coefficients only
         variant = "twosum"
-    fast = variant in ("sigma", "lomxu", "tlane", "xcross")
+    fast = variant in ("sigma", "lomxu", "tlane", "xcross", "mxq")
     xcross = variant == "xcross"
     # mixed-precision tail (see f32_tail_orders): uniform flip
     # coefficients only.  Sharded remote bits ride the tail too via

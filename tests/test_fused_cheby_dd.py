@@ -362,3 +362,27 @@ def test_dd_xcross_variant(problem):
             f32_tail=tail,
         )
         assert np.abs(merge(state) - expected).max() < 1e-13, tail
+
+
+def test_dd_mxq_variant(problem):
+    """'mxq' variant (round 4): the HI plane's lane-flip sum rides
+    THREE MXU matmuls via a two-level 14-bit σ-extraction — exact by
+    the measured MXU grid-exactness (probe_mxu_grid_r4: HIGHEST is
+    bit-exact for ≤16-bit-mantissa inputs).  Must match the f64 kernel
+    to 1e-13 with and without the f32 tail."""
+    op, diag64, psi, e_min, delta = problem
+    dt = 0.05
+    c = cheby_coeffs(delta, dt)
+    plan = make_flip_plan(L, g, tile_rows=8)
+    dmb_h, dmb_l = _dmb(diag64, delta, e_min)
+    state0 = (*dd_split(psi.real), *dd_split(psi.imag))
+    expected = np.asarray(
+        cheby_apply(op, jnp.asarray(psi), jnp.asarray(c), delta, e_min, dt)
+    )
+    for tail in (0, 4):
+        state = cheby_step_fused_dd(
+            plan, dmb_h, dmb_l, state0, *dd_coeffs(delta, dt),
+            delta, e_min, dt, interpret=True, fast="mxq",
+            f32_tail=tail,
+        )
+        assert np.abs(merge(state) - expected).max() < 1e-13, tail
