@@ -210,8 +210,14 @@ def _banded_apply_impl(planes_hi, planes_lo, xh, xl, offsets, R, b,
     wb = max((abs(d) for d in offsets), default=0)
     if wb > TR:
         raise ValueError(f"band offset {wb} exceeds tile_rows {TR}")
-    has_prev = any(d < 0 for d in offsets) and n_tiles > 1
-    has_next = any(d > 0 for d in offsets) and n_tiles > 1
+    # the prev/next windows are needed whenever an offset reaches
+    # outside the tile — including at n_tiles == 1, where the clamped
+    # index maps serve the tile itself and the out-of-range slice rows
+    # multiply zero-padded edge blocks (an earlier `n_tiles > 1` guard
+    # made single-tile operators slice an un-extended window out of
+    # range)
+    has_prev = any(d < 0 for d in offsets)
+    has_next = any(d > 0 for d in offsets)
     kw = {"memory_space": pltpu.VMEM} if _HAS_PLTPU else {}
     vec = pl.BlockSpec((TR, b), lambda i: (i, 0), **kw)
     band_spec = pl.BlockSpec((b, TR, b), lambda i: (0, i, 0), **kw)

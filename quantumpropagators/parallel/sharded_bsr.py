@@ -80,7 +80,7 @@ _register_pytree(
 )
 
 
-def _partition_cols(nz, cols, shape0, n_devices, mode):
+def _partition_cols(nz, cols, n_devices, mode):
     """Shared block-row partition layout: from the nonzero mask ``nz``
     ``(R, k)`` and block-column ids ``cols``, compute the per-device
     remapped column ids and the halo width.
@@ -146,9 +146,7 @@ def partition_bsr(
             "to a multiple of the block size first"
         )
     nz = np.abs(blocks).max(axis=(2, 3)) > 0  # (R, k) real entries
-    slab_cols, halo, Rl = _partition_cols(
-        nz, cols, op.shape[0], n_devices, mode
-    )
+    slab_cols, halo, Rl = _partition_cols(nz, cols, n_devices, mode)
     slab_blocks = blocks.reshape(n_devices, Rl, k, b, b)
     return PartitionedBSR(
         blocks=jnp.asarray(slab_blocks),
@@ -417,9 +415,7 @@ def partition_bsr_dd(
     cols = np.asarray(op.cols)
     R, k, b, _ = bh.shape
     nz = (np.abs(bh) + np.abs(bl)).max(axis=(2, 3)) > 0
-    slab_cols, halo, Rl = _partition_cols(
-        nz, cols, op.shape[0], n_devices, mode
-    )
+    slab_cols, halo, Rl = _partition_cols(nz, cols, n_devices, mode)
     return PartitionedBSRdd(
         blocks_hi=jnp.asarray(bh.reshape(n_devices, Rl, k, b, b)),
         blocks_lo=jnp.asarray(bl.reshape(n_devices, Rl, k, b, b)),

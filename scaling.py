@@ -133,12 +133,7 @@ def run_config_banded_dd(n_dev: int, R_local: int, b: int, steps: int,
     psi = rng.standard_normal(N) + 1j * rng.standard_normal(N)
     psi /= np.linalg.norm(psi)
 
-    def dd_split(x64):
-        hi = np.asarray(x64, np.float64).astype(np.float32)
-        return (
-            jnp.asarray(hi),
-            jnp.asarray((x64 - hi.astype(np.float64)).astype(np.float32)),
-        )
+    from quantumpropagators.ops.df64_sparse import dd_split_np as dd_split
 
     state4 = tuple(
         shard_vector(mesh, p)
@@ -192,12 +187,7 @@ def run_config_hypercube_dd(n_dev: int, L: int, steps: int, dt: float):
         tile_rows=(None if on_tpu else 8), interpret=not on_tpu,
     )
 
-    def dd_split(x64):
-        hi = np.asarray(x64, np.float64).astype(np.float32)
-        return (
-            jnp.asarray(hi),
-            jnp.asarray((x64 - hi.astype(np.float64)).astype(np.float32)),
-        )
+    from quantumpropagators.ops.df64_sparse import dd_split_np as dd_split
 
     rng = np.random.default_rng(0)
     psi = rng.standard_normal(2 ** L) + 1j * rng.standard_normal(2 ** L)

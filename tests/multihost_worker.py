@@ -128,9 +128,7 @@ def main():
     psib = rngb.standard_normal(Nb) + 1j * rngb.standard_normal(Nb)
     psib /= np.linalg.norm(psib)
 
-    def dd_split(x64):
-        hi = np.asarray(x64, np.float64).astype(np.float32)
-        return hi, (x64 - hi.astype(np.float64)).astype(np.float32)
+    from quantumpropagators.ops.df64_sparse import dd_split_np as dd_split
 
     planes = (*dd_split(psib.real), *dd_split(psib.imag))
     state4 = tuple(

@@ -103,3 +103,19 @@ def test_banded_rejects_non_banded():
     A = (A + A.T).tocsr()
     with pytest.raises(ValueError, match="not a banded operator"):
         banded_dd_from_scipy(A, block=8, max_bands=5)
+
+
+def test_banded_single_tile_operator(problem):
+    """Regression (round-4 self-review): an operator that fits in ONE
+    Pallas tile (n_tiles == 1) with nonzero band offsets must still
+    apply correctly — the clamped prev/next windows serve the tile
+    itself and the zero-padded edge blocks annihilate the wrapped
+    rows."""
+    A, N, rng = problem
+    op = banded_dd_from_scipy(A, block=8)
+    x64 = rng.normal(size=N)
+    # tile_rows = R -> single tile
+    y = banded_dd_apply(op, dds(x64), tile_rows=op.R, interpret=True)
+    got = np.asarray(y.hi, np.float64) + np.asarray(y.lo, np.float64)
+    want = A @ x64
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-13
