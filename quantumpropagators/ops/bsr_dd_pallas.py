@@ -55,6 +55,7 @@ __all__ = [
     "BandedDD",
     "banded_dd_from_scipy",
     "banded_dd_apply",
+    "banded_dd_apply_extended",
     "cheby_apply_dd_banded",
 ]
 
@@ -201,9 +202,10 @@ def _banded_kernel(offsets, TR, b, has_prev, has_next, *refs):
     o_yl[:] = _b(yl + acc_e2)
 
 
-@partial(jax.jit, static_argnames=("offsets", "R", "b", "tile_rows", "interpret"))
+@partial(jax.jit, static_argnames=("offsets", "R", "b", "tile_rows",
+                                   "interpret", "halo_ext"))
 def _banded_apply_impl(planes_hi, planes_lo, xh, xl, offsets, R, b,
-                       tile_rows, interpret):
+                       tile_rows, interpret, halo_ext=False):
     _USE_BARRIER[0] = bool(interpret)
     TR = tile_rows
     n_tiles = R // TR
@@ -221,22 +223,34 @@ def _banded_apply_impl(planes_hi, planes_lo, xh, xl, offsets, R, b,
     kw = {"memory_space": pltpu.VMEM} if _HAS_PLTPU else {}
     vec = pl.BlockSpec((TR, b), lambda i: (i, 0), **kw)
     band_spec = pl.BlockSpec((b, TR, b), lambda i: (0, i, 0), **kw)
-    prev_spec = pl.BlockSpec(
-        (TR, b), lambda i: (jnp.maximum(i - 1, 0), 0), **kw
-    )
-    next_spec = pl.BlockSpec(
-        (TR, b), lambda i: (jnp.minimum(i + 1, n_tiles - 1), 0), **kw
-    )
+    if halo_ext:
+        # sharded mode: x carries one extra TR-block-row halo tile on
+        # each side (filled by the caller's ppermute exchange), so the
+        # window maps are exact shifts — output tile i reads x tiles
+        # (i, i+1, i+2) of the (n_tiles+2)-tile extended state
+        has_prev = has_next = True
+        prev_spec = pl.BlockSpec((TR, b), lambda i: (i, 0), **kw)
+        cur_spec = pl.BlockSpec((TR, b), lambda i: (i + 1, 0), **kw)
+        next_spec = pl.BlockSpec((TR, b), lambda i: (i + 2, 0), **kw)
+    else:
+        cur_spec = vec
+        prev_spec = pl.BlockSpec(
+            (TR, b), lambda i: (jnp.maximum(i - 1, 0), 0), **kw
+        )
+        next_spec = pl.BlockSpec(
+            (TR, b), lambda i: (jnp.minimum(i + 1, n_tiles - 1), 0), **kw
+        )
 
     args, specs = [], []
     for kband in range(len(offsets)):
         args += [planes_hi[kband], planes_lo[kband]]
         specs += [band_spec, band_spec]
-    x2h = xh.reshape(R, b)
-    x2l = xl.reshape(R, b)
+    n_xrows = R + 2 * TR if halo_ext else R
+    x2h = xh.reshape(n_xrows, b)
+    x2l = xl.reshape(n_xrows, b)
     if has_prev:
         args += [x2h, x2l]; specs += [prev_spec, prev_spec]
-    args += [x2h, x2l]; specs += [vec, vec]
+    args += [x2h, x2l]; specs += [cur_spec, cur_spec]
     if has_next:
         args += [x2h, x2l]; specs += [next_spec, next_spec]
 
@@ -277,6 +291,29 @@ def banded_dd_apply(op: BandedDD, x, *, tile_rows: int = 8,
     yh, yl = _banded_apply_impl(
         op.planes_hi, op.planes_lo, x.hi, x.lo,
         op.offsets, op.R, op.b, tr, interpret,
+    )
+    return DD(yh, yl)
+
+
+def banded_dd_apply_extended(op: BandedDD, x_ext, *, tile_rows: int = 8,
+                             interpret: bool = False):
+    """``y = A·x`` over a HALO-EXTENDED state window: the sharded-mode
+    entry point.  ``x_ext`` is a :class:`~.df64.DD` of
+    ``((R + 2·tile_rows)·b,)`` planes — the local shard prefixed and
+    suffixed with one full ``tile_rows``-block-row halo tile each (the
+    caller fills these from its mesh neighbors; band offsets must fit
+    in one tile, enforced by the kernel).  Returns the local ``(R·b,)``
+    result rows.  ``op.R`` here is the LOCAL block-row count."""
+    from .df64 import DD
+
+    if op.R % tile_rows:
+        raise ValueError(
+            f"local block rows {op.R} not divisible by tile_rows "
+            f"{tile_rows} (pick a tile_rows dividing the shard)"
+        )
+    yh, yl = _banded_apply_impl(
+        op.planes_hi, op.planes_lo, x_ext.hi, x_ext.lo,
+        op.offsets, op.R, op.b, tile_rows, interpret, halo_ext=True,
     )
     return DD(yh, yl)
 

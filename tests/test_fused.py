@@ -130,3 +130,106 @@ def test_fused_storage_memory_guard():
                        storage=True, max_storage_bytes=100,
                        observables=(lambda p: jnp.vdot(p, p).real,))
     assert out.shape == (11,)
+
+
+# ---- kernel='dd' static operators (banded Pallas / BSR XLA tiers) ----
+#
+# VERDICT r4 item 2: `propagate` on a banded real BSR Hamiltonian must
+# hit the fast banded dd kernel without bench-only plumbing.  On CPU
+# the kernel runs in interpret mode with b=8 blocks (EFT host-callback
+# barriers make b=128 infeasible off-chip).
+
+
+@pytest.fixture
+def banded_problem():
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(91)
+    N = 48
+    A = sp.diags(
+        [rng.normal(size=N - 2), rng.normal(size=N - 1),
+         rng.normal(size=N), rng.normal(size=N - 1),
+         rng.normal(size=N - 2)],
+        [-2, -1, 0, 1, 2],
+    ).tocsr()
+    A = (0.5 * (A + A.T)).tocsr()
+    psi0 = jnp.asarray(random_state_vector(N, rng=rng))
+    tlist = np.linspace(0, 0.5, 11)
+    return A, psi0, tlist
+
+
+def test_dd_static_banded_via_propagate(banded_problem):
+    """propagate(fused=True, kernel='dd') on a banded BSR operator
+    rides the Pallas banded dd tier at reference accuracy."""
+    import scipy.linalg
+
+    from quantumpropagators.ops.operators import bsr_from_scipy
+
+    A, psi0, tlist = banded_problem
+    op = bsr_from_scipy(A, block_size=8)
+    got = qp.propagate(psi0, op, tlist, method="cheby", fused=True,
+                       kernel="dd")
+    U = scipy.linalg.expm(-1j * (tlist[-1] - tlist[0]) * A.toarray())
+    want = U @ np.asarray(psi0)
+    assert np.abs(np.asarray(got) - want).max() < 1e-11
+
+
+def test_dd_static_operator_fold(banded_problem):
+    """A static Operator (ops + scalar coeffs) folds host-side and
+    propagates through the dd tier."""
+    import scipy.linalg
+
+    from quantumpropagators.models.generators import Operator
+    from quantumpropagators.ops.operators import bsr_from_scipy
+
+    A, psi0, tlist = banded_problem
+    op1 = bsr_from_scipy(A, block_size=8)
+    op2 = bsr_from_scipy(0.5 * A, block_size=8)
+    gen = Operator([op1, op2], jnp.asarray([0.6, 0.8]))
+    Aeff = 0.6 * A + 0.8 * (0.5 * A)
+    psi_final, _ = cheby_propagate_fused(
+        psi0, gen, tlist, kernel="dd"
+    )
+    U = scipy.linalg.expm(
+        -1j * (tlist[-1] - tlist[0]) * Aeff.toarray()
+    )
+    want = U @ np.asarray(psi0)
+    assert np.abs(np.asarray(psi_final) - want).max() < 1e-11
+
+
+def test_dd_static_nonbanded_falls_back_to_bsr(banded_problem):
+    """Far off-diagonal coupling -> XLA blocked-ELL dd chain, same
+    accuracy."""
+    import scipy.linalg
+
+    A, psi0, tlist = banded_problem
+    N = A.shape[0]
+    A = A.tolil()
+    A[0, N - 1] = A[N - 1, 0] = 0.4
+    A = A.tocsr()
+    psi_final, _ = cheby_propagate_fused(
+        psi0, jnp.asarray(A.toarray(), dtype=jnp.complex128), tlist,
+        kernel="dd",
+    )
+    U = scipy.linalg.expm(-1j * (tlist[-1] - tlist[0]) * A.toarray())
+    want = U @ np.asarray(psi0)
+    assert np.abs(np.asarray(psi_final) - want).max() < 1e-11
+
+
+def test_dd_static_observables_stream(banded_problem):
+    """observables stream through the dd scan on the UNPADDED state."""
+    A, psi0, tlist = banded_problem
+    from quantumpropagators.ops.operators import bsr_from_scipy
+
+    op = bsr_from_scipy(A, block_size=8)
+    n_op = jnp.asarray(np.diag(np.arange(A.shape[0], dtype=float)))
+    store = qp.propagate(
+        psi0, op, tlist, method="cheby", fused=True, kernel="dd",
+        storage=True, observables=[n_op],
+    )
+    assert store.shape == (len(tlist),)
+    ref = qp.propagate(
+        psi0, op, tlist, method="cheby", storage=True,
+        observables=[n_op],
+    )
+    assert np.allclose(np.asarray(store), np.asarray(ref), atol=1e-10)
