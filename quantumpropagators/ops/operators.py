@@ -407,6 +407,10 @@ def bsr_from_scipy(A, block_size: int = None, dtype=None) -> BSROperator:
     B.sort_indices()
     if dtype is None:
         dtype = jnp.complex128 if B.dtype.kind == "c" else B.dtype
+    # canonicalize for the active backend: without this, f64 scipy input
+    # on a non-x64 backend requests float64 from jnp.asarray and gets a
+    # silent truncation WARNING (VERDICT r4 hygiene item)
+    dtype = jax.dtypes.canonicalize_dtype(jnp.dtype(dtype))
     R = n_pad // b
     degrees = np.diff(B.indptr)
     k = max(1, int(degrees.max()))
