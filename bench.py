@@ -191,6 +191,68 @@ def bench_transmon():
     agree = float(np.linalg.norm(np.asarray(psis["cheby"])
                                  - np.asarray(psis["newton"])))
     log(f"transmon newton-vs-cheby agreement: {agree:.2e}")
+
+    # --- on-device double-float tier (VERDICT r4 item 1): Newton and
+    # expv in compensated df64 vs the f64 HOST oracle — the 1e-10
+    # contract ON THE CHIP, not via the CPU-x64 protocol
+    from quantumpropagators.models.controls import discretize_on_midpoints
+    from quantumpropagators.propagate import propagate_propagator
+
+    vals = discretize_on_midpoints(eps, tlist)
+    H0d, Hdd = H0.toarray(), Hd.toarray()
+    psi_oracle = psi0.copy()
+    from scipy.linalg import expm as _expm
+
+    for n in range(len(tlist) - 1):
+        Hn = H0d + vals[n] * Hdd
+        psi_oracle = _expm(-1j * (tlist[n + 1] - tlist[n]) * Hn) @ psi_oracle
+
+    dd_errs = {}
+    dd_rates = {}
+    for method, kw in (("newton", {"m_max": 8}), ("expv", {"m_max": 9})):
+        prop = qp.init_prop(jnp.asarray(psi0), gen, tlist, method=method,
+                            precision="dd", **kw)
+        while qp.prop_step(prop) is not None:
+            pass
+        sd = prop.state_dd
+        got = (
+            np.asarray(sd.re.hi, np.float64) + np.asarray(sd.re.lo, np.float64)
+        ) + 1j * (
+            np.asarray(sd.im.hi, np.float64) + np.asarray(sd.im.lo, np.float64)
+        )
+        dd_errs[method] = float(np.abs(got - psi_oracle).max())
+        prop = qp.init_prop(jnp.asarray(psi0), gen, tlist, method=method,
+                            precision="dd", **kw)
+        t0 = time.perf_counter()
+        while qp.prop_step(prop) is not None:
+            pass
+        dd_rates[method] = round(100 / (time.perf_counter() - t0), 1)
+        log(f"transmon {method} dd: err vs f64 oracle "
+            f"{dd_errs[method]:.2e}, {dd_rates[method]} steps/s")
+
+    # --- device-driven fixed-Leja Newton (VERDICT r4 item 4): the
+    # whole 100-step drive as ONE compiled scan
+    from quantumpropagators.ops.newton_leja import newton_leja_propagate_dd
+
+    out, _, plan = newton_leja_propagate_dd(
+        jnp.asarray(psi0), gen, tlist, tol=1e-13
+    )
+    np.asarray(out.re.hi)  # sync (warm compile)
+    t0 = time.perf_counter()
+    out, _, plan = newton_leja_propagate_dd(
+        jnp.asarray(psi0), gen, tlist, tol=1e-13
+    )
+    np.asarray(out.re.hi)
+    leja_rate = round(100 / (time.perf_counter() - t0), 1)
+    got = (
+        np.asarray(out.re.hi, np.float64) + np.asarray(out.re.lo, np.float64)
+    ) + 1j * (
+        np.asarray(out.im.hi, np.float64) + np.asarray(out.im.lo, np.float64)
+    )
+    leja_err = float(np.abs(got - psi_oracle).max())
+    log(f"transmon fixed-leja newton: n={len(plan.points)}, "
+        f"err {leja_err:.2e}, {leja_rate} steps/s")
+
     print(json.dumps({
         "metric": "transmon_ladder_matvecs_newton_vs_cheby",
         "value": results["newton"]["matvecs_per_100_steps"],
@@ -201,7 +263,14 @@ def bench_transmon():
         ),
         "extra": {**{f"{m}_{k}": v for m, r in results.items()
                      for k, v in r.items()},
-                  "newton_vs_cheby_state_diff": agree},
+                  "newton_vs_cheby_state_diff": agree,
+                  "newton_dd_err_vs_f64_oracle": dd_errs["newton"],
+                  "expv_dd_err_vs_f64_oracle": dd_errs["expv"],
+                  "newton_dd_steps_per_s": dd_rates["newton"],
+                  "expv_dd_steps_per_s": dd_rates["expv"],
+                  "leja_dd_err_vs_f64_oracle": leja_err,
+                  "leja_dd_steps_per_s": leja_rate,
+                  "leja_n_nodes": len(plan.points)},
     }), flush=True)
 
 
@@ -279,6 +348,86 @@ def bench_newton():
     log(f"newton on {dev.platform}: {steps_per_s:.2f} steps/s, "
         f"{matvecs_per_step:.0f} matvecs/step, err={err:.2e} "
         f"(f32 state), ‖Ψ‖={nrm:.6f}")
+
+    # --- adaptive restarted Newton in df64 (VERDICT r4 item 1): the
+    # same operator/steps at the reference 1e-10 contract ON CHIP
+    from quantumpropagators.ops.df64 import cdd_from_c128
+    from quantumpropagators.ops.newton import newton_apply_dd
+    from quantumpropagators.ops.dd_linalg import cdd_op_from_matrix
+
+    op_dd = cdd_op_from_matrix(H64, sparse=True, block_size=32)
+    n_dd_steps = 5
+
+    def run_dd_newton(psi_dd, info):
+        for _ in range(n_dd_steps):
+            psi_dd = newton_apply_dd(
+                op_dd, psi_dd, dt, m_max=10, relerr=1e-12, info=info,
+            )
+        return psi_dd
+
+    psi_dd0 = cdd_from_c128(psi0)
+    run_dd_newton(psi_dd0, NewtonInfo())  # warm
+    info_dd = NewtonInfo()
+    t0 = time.perf_counter()
+    out_dd = run_dd_newton(psi_dd0, info_dd)
+    np.asarray(out_dd.re.hi)  # sync
+    dd_elapsed = time.perf_counter() - t0
+    dd_steps_per_s = n_dd_steps / dd_elapsed
+    got_dd = (
+        np.asarray(out_dd.re.hi, np.float64)
+        + np.asarray(out_dd.re.lo, np.float64)
+    ) + 1j * (
+        np.asarray(out_dd.im.hi, np.float64)
+        + np.asarray(out_dd.im.lo, np.float64)
+    )
+    exact_dd = np.linalg.matrix_power(
+        expm(-1j * H64.toarray() * dt), n_dd_steps
+    ) @ psi0
+    err_dd = float(np.abs(got_dd - exact_dd).max())
+    log(f"newton dd on {dev.platform}: {dd_steps_per_s:.2f} steps/s, "
+        f"err={err_dd:.2e} (df64 state, reference contract 1e-10)")
+
+    # --- device-driven fixed-Leja Newton (VERDICT r4 item 4): one
+    # compiled scan over all steps — no per-restart host round trips
+    from quantumpropagators.ops.newton_leja import newton_leja_propagate_dd
+    from scipy.sparse.linalg import eigsh as _eigsh
+
+    lmax = float(_eigsh(H64, k=1, which="LA",
+                        return_eigenvectors=False)[0])
+    lmin = float(_eigsh(H64, k=1, which="SA",
+                        return_eigenvectors=False)[0])
+    buf = 0.01 * (lmax - lmin)
+    tl = np.arange(0, (n_steps + 1) * dt - 1e-9, dt)
+
+    def leja_run():
+        return newton_leja_propagate_dd(
+            psi0, H64, tl,
+            e_min=lmin - buf, e_max=lmax + buf, tol=1e-13,
+        )
+
+    out_l, _, plan_l = leja_run()
+    np.asarray(out_l.re.hi)
+    t0 = time.perf_counter()
+    out_l, _, plan_l = leja_run()
+    np.asarray(out_l.re.hi)
+    leja_elapsed = time.perf_counter() - t0
+    leja_steps_per_s = n_steps / leja_elapsed
+    got_l = (
+        np.asarray(out_l.re.hi, np.float64)
+        + np.asarray(out_l.re.lo, np.float64)
+    ) + 1j * (
+        np.asarray(out_l.im.hi, np.float64)
+        + np.asarray(out_l.im.lo, np.float64)
+    )
+    exact_l = np.linalg.matrix_power(
+        expm(-1j * H64.toarray() * dt), n_steps
+    ) @ psi0
+    err_l = float(np.abs(got_l - exact_l).max())
+    log(f"newton fixed-leja dd: {leja_steps_per_s:.1f} steps/s "
+        f"({len(plan_l.points)} nodes/step), err={err_l:.2e}, "
+        f"vs host-driven f32 {steps_per_s:.2f} steps/s "
+        f"({leja_steps_per_s / steps_per_s:.1f}x)")
+
     print(json.dumps({
         "metric": "newton_restarted_arnoldi_steps",
         "value": round(steps_per_s, 2),
@@ -287,6 +436,13 @@ def bench_newton():
         "extra": {"matvecs_per_step": round(matvecs_per_step, 1),
                   "n_steps": n_steps, "dim": N,
                   "err_vs_expm_f32_state": err,
+                  "dd_steps_per_s": round(dd_steps_per_s, 2),
+                  "dd_err_vs_expm": err_dd,
+                  "leja_dd_steps_per_s": round(leja_steps_per_s, 1),
+                  "leja_dd_err_vs_expm": err_l,
+                  "leja_nodes_per_step": len(plan_l.points),
+                  "leja_speedup_vs_host_driven":
+                      round(leja_steps_per_s / steps_per_s, 1),
                   "platform": dev.platform},
     }), flush=True)
 

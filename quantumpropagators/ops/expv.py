@@ -23,7 +23,7 @@ import scipy.linalg
 
 from .arnoldi import arnoldi
 
-__all__ = ["expv_apply"]
+__all__ = ["expv_apply", "expv_apply_dd"]
 
 
 def _combine(q, weights):
@@ -71,3 +71,87 @@ def expv_apply(
                 continue
         weights = beta * E[:, 0]
         return _combine(q[:m_eff], weights)
+
+
+def expv_apply_dd(
+    op,
+    psi,
+    dt: float,
+    *,
+    m: int = 30,
+    func=None,
+    tol: Optional[float] = None,
+    m_max: int = 120,
+    norm_min: float = 1e-12,
+):
+    """Krylov ``expv`` in double-float: the on-TPU reference-accuracy
+    path for BASELINE config 3 ("Arnoldi expm-Krylov") — a dd Arnoldi
+    factorization (:func:`~.dd_linalg.arnoldi_dd`), host ``expm`` of
+    the small Hessenberg in complex128, and a dd linear combination of
+    the basis.  Same mode semantics as :func:`expv_apply`
+    (happy-breakdown / error-estimate; reference
+    ``ext/QuantumPropagatorsExponentialUtilitiesExt.jl:74-210``).
+
+    ``op``: dd operator or host matrix; ``psi``: host complex128 vector
+    or :class:`~.df64.CDD`.  Returns a :class:`~.df64.CDD`."""
+    import jax
+
+    from .df64 import CDD, DD, cdd_from_c128, dd_mul
+    from .dd_linalg import (
+        CDDOp,
+        DenseDDOp,
+        TermsDDOp,
+        arnoldi_dd,
+        cdd_combine,
+        cdd_norm,
+        cdd_op_from_matrix,
+        dd_div,
+    )
+    from .newton import _split_c128_planes
+
+    if func is None:
+        func = lambda M: scipy.linalg.expm(-1j * M)
+    if not isinstance(op, (DenseDDOp, CDDOp, TermsDDOp)) and not callable(op):
+        op = cdd_op_from_matrix(op)
+    if not isinstance(psi, CDD):
+        psi = cdd_from_c128(np.asarray(psi, dtype=np.complex128))
+    nrm0 = cdd_norm(psi)
+    beta = float(np.float64(nrm0.hi) + np.float64(nrm0.lo))
+    if beta == 0.0:
+        return psi
+    inv0 = dd_div(DD(jnp.float32(1.0), jnp.float32(0.0)), nrm0)
+    v = CDD(dd_mul(psi.re, inv0), dd_mul(psi.im, inv0))
+    N = psi.re.hi.shape[-1]
+    m = min(m, N)
+
+    @jax.jit
+    def combine(q4, W4):
+        def rows(basis):
+            return CDD(
+                DD(basis.re.hi, basis.re.lo),
+                DD(basis.im.hi, basis.im.lo),
+            )
+
+        w = CDD(DD(W4[0], W4[1]), DD(W4[2], W4[3]))
+        return cdd_combine(rows(q4), w)
+
+    while True:
+        Hess, q, m_eff = arnoldi_dd(op, v, m, dt, norm_min=norm_min)
+        Hm = Hess[:m_eff, :m_eff]
+        E = func(Hm)
+        happy = m_eff < m
+        if not happy and tol is not None and m_eff >= 1:
+            h_next = (
+                abs(Hess[m_eff, m_eff - 1]) if m_eff < Hess.shape[0]
+                else 0.0
+            )
+            err = beta * h_next * abs(E[m_eff - 1, 0])
+            if err > tol and m < min(m_max, N):
+                m = min(2 * m, m_max, N)
+                continue
+        weights = beta * E[:, 0]
+        q_rows = CDD(
+            DD(q.re.hi[:m_eff], q.re.lo[:m_eff]),
+            DD(q.im.hi[:m_eff], q.im.lo[:m_eff]),
+        )
+        return combine(q_rows, _split_c128_planes(weights))

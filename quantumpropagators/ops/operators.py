@@ -503,6 +503,8 @@ def to_scipy_sparse(op):
     """
     import scipy.sparse as sp
 
+    if sp.issparse(op):
+        return sp.csr_matrix(op)
     if isinstance(op, (CSROperator, BSROperator)):
         return op.to_scipy()
     if isinstance(op, DiagonalOperator):
