@@ -209,9 +209,12 @@ def bench_transmon():
 
     dd_errs = {}
     dd_rates = {}
-    for method, kw in (("newton", {"m_max": 8}), ("expv", {"m_max": 9})):
+    dd_terms = [H0.astype(np.float64), Hd.astype(np.float64)]
+    for method, kw in (("newton", {"m_max": 8}),
+                       ("expv", {"m_max": 10})):  # m=N: exact subspace
         prop = qp.init_prop(jnp.asarray(psi0), gen, tlist, method=method,
-                            precision="dd", **kw)
+                            precision="dd", dd_operator_terms=dd_terms,
+                            **kw)
         while qp.prop_step(prop) is not None:
             pass
         sd = prop.state_dd
@@ -222,7 +225,8 @@ def bench_transmon():
         )
         dd_errs[method] = float(np.abs(got - psi_oracle).max())
         prop = qp.init_prop(jnp.asarray(psi0), gen, tlist, method=method,
-                            precision="dd", **kw)
+                            precision="dd", dd_operator_terms=dd_terms,
+                            **kw)
         t0 = time.perf_counter()
         while qp.prop_step(prop) is not None:
             pass
@@ -235,12 +239,14 @@ def bench_transmon():
     from quantumpropagators.ops.newton_leja import newton_leja_propagate_dd
 
     out, _, plan = newton_leja_propagate_dd(
-        jnp.asarray(psi0), gen, tlist, tol=1e-13
+        jnp.asarray(psi0), gen, tlist, tol=1e-13,
+        dd_operator_terms=dd_terms,
     )
     np.asarray(out.re.hi)  # sync (warm compile)
     t0 = time.perf_counter()
     out, _, plan = newton_leja_propagate_dd(
-        jnp.asarray(psi0), gen, tlist, tol=1e-13
+        jnp.asarray(psi0), gen, tlist, tol=1e-13,
+        dd_operator_terms=dd_terms,
     )
     np.asarray(out.re.hi)
     leja_rate = round(100 / (time.perf_counter() - t0), 1)
@@ -689,6 +695,295 @@ def bench_optomech():
     }), flush=True)
 
 
+def bench_banded20(L_dim: int = 20, tile_rows: int = 8, dt=None):
+    """VERDICT r4 item 3: the banded df64 Pallas kernel at 2^20 — the
+    BASELINE config-5 single-chip anchor through the ACTUAL BSR layout
+    (dense 128-blocks), with a stated roofline.
+
+    Operator: block-tridiagonal chain of 2^L_dim/128 coupled 128-level
+    units with dense symmetric on-site and dense hopping blocks — every
+    stored float is a logical nonzero, so Gnnz/s here is honest
+    streamed-nnz throughput.
+
+    Roofline (measured chip model, docs/benchmarks.md:113-160 + the r4
+    probe verdicts): per matvec the kernel streams 8 B/nnz of dd
+    operator planes at the measured ~989 GB/s AND issues ~30 barriered
+    VPU f32 ops/nnz at the ~4 Tflop/s issue wall; compute and DMA
+    SERIALIZE on this chip (probe_scatter_r4), so
+    ``t ≈ nnz·(8/989e9 + 30/4e12)`` → bound ≈ 63 Gnnz/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from quantumpropagators.ops.bsr_dd_pallas import (
+        BandedDD, banded_dd_apply, cheby_apply_dd_banded,
+    )
+    from quantumpropagators.ops.cheby import cheby_coeffs
+    from quantumpropagators.ops.df64 import CDD, DD
+
+    dev = jax.devices()[0]
+    b = 128
+    N = 2 ** L_dim
+    R = N // b
+    rng = np.random.default_rng(33)
+    scale = 1.0 / np.sqrt(3 * b)
+    # planes[k, i, r, o] = A[r*b+o, (r+offset_k)*b+i], offsets (-1,0,1)
+    planes = np.zeros((3, b, R, b), dtype=np.float64)
+    D = rng.standard_normal((R, b, b))
+    D = 0.5 * (D + D.transpose(0, 2, 1)) * scale
+    U = rng.standard_normal((R - 1, b, b)) * scale
+    planes[1] = D.transpose(2, 0, 1)               # (i, r, o) = D[r][o,i]
+    planes[2, :, : R - 1, :] = U.transpose(2, 0, 1)  # block (r, r+1)=U[r]
+    planes[0, :, 1:, :] = U.transpose(1, 0, 2)       # block (r, r-1)=U[r-1]^T
+    hi = planes.astype(np.float32)
+    lo = (planes - hi.astype(np.float64)).astype(np.float32)
+    nnz = 3 * R * b * b - 2 * b * b
+    nnz_stored = 3 * R * b * b
+    op = BandedDD(
+        planes_hi=jnp.asarray(hi), planes_lo=jnp.asarray(lo),
+        offsets=(-1, 0, 1), R=R, b=b, shape=(N, N),
+        logical_nnz=nnz,
+    )
+    # Gershgorin bound from the |planes| row sums
+    row_abs = np.abs(planes).sum(axis=(0, 1))  # (R, b) -> per-row sums
+    bound = float(row_abs.max())
+    e_min, delta = -bound, 2 * bound
+    if dt is None:
+        dt = 6.0 / delta  # Δ·dt/2 = 3 → ~19 coefficients (headline-like)
+    c64 = cheby_coeffs(delta, dt)
+    n_coeffs = len(c64)
+    log(f"banded20 on {dev.platform}: dim 2^{L_dim}, R={R}, b={b}, "
+        f"{n_coeffs} coefficients/step, tile_rows={tile_rows}")
+    x64 = rng.standard_normal(N)
+    y64 = rng.standard_normal(N)
+    s = np.sqrt((x64 ** 2 + y64 ** 2).sum())
+    x64, y64 = x64 / s, y64 / s
+
+    def dd_split(v):
+        h = v.astype(np.float32)
+        return (jnp.asarray(h),
+                jnp.asarray((v - h.astype(np.float64)).astype(np.float32)))
+
+    interp = dev.platform != "tpu"
+    # correctness: one dd matvec vs the host f64 contraction
+    yd = banded_dd_apply(op, DD(*dd_split(x64)), tile_rows=tile_rows,
+                         interpret=interp)
+    got = np.asarray(yd.hi, np.float64) + np.asarray(yd.lo, np.float64)
+    xb = x64.reshape(R, b)
+    want = np.einsum("iro,ri->ro", planes[1], xb)
+    want[: R - 1] += np.einsum("iro,ri->ro", planes[2, :, : R - 1],
+                               xb[1:])
+    want[1:] += np.einsum("iro,ri->ro", planes[0, :, 1:], xb[: R - 1])
+    want = want.reshape(-1)
+    mv_err = float(np.abs(got - want).max() / np.abs(want).max())
+    log(f"banded20 matvec vs f64: rel err {mv_err:.2e}")
+    assert mv_err < 1e-13, mv_err
+
+    z0 = CDD(DD(*dd_split(x64)), DD(*dd_split(y64)))
+
+    def run(z, n_steps):
+        for _ in range(n_steps):
+            z = cheby_apply_dd_banded(op, z, c64, delta, e_min, dt,
+                                      tile_rows=tile_rows,
+                                      interpret=interp)
+        return z
+
+    na, nb_ = (1, 3) if dev.platform != "tpu" else (3, 9)
+    run(z0, 1)  # compile
+    t0 = time.perf_counter()
+    za = run(z0, na)
+    np.asarray(za.re.hi)
+    ta = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    zb = run(z0, nb_)
+    np.asarray(zb.re.hi)
+    tb = time.perf_counter() - t0
+    t_steps = (tb - ta) / (nb_ - na)
+    matvecs = 2 * (n_coeffs - 1)  # re+im per order
+    gnnz = matvecs * nnz_stored / t_steps / 1e9
+    # serialized-chip roofline (measured r4 model: 989 GB/s stream,
+    # ~4 Tflop/s VPU issue, no DMA/compute overlap on this chip)
+    t_bound_per_nnz = 8 / 989e9 + 30 / 4e12
+    bound_gnnz = 1e-9 / t_bound_per_nnz
+    log(f"banded20: {gnnz:.2f} Gnnz/s ({t_steps:.3f} s/step, "
+        f"{matvecs} matvecs/step), serialized-model bound "
+        f"{bound_gnnz:.1f} Gnnz/s -> {100 * gnnz / bound_gnnz:.0f}%")
+    print(json.dumps({
+        "metric": f"banded_dd_bsr_cheby_2^{L_dim}",
+        "value": round(gnnz, 2),
+        "unit": "Gnnz/s",
+        "vs_baseline": None,
+        "extra": {"dim": N, "block": b, "n_bands": 3,
+                  "nnz_stored": nnz_stored,
+                  "matvecs_per_step": matvecs,
+                  "seconds_per_step": round(t_steps, 4),
+                  "matvec_rel_err_vs_f64": mv_err,
+                  "tile_rows": tile_rows,
+                  "roofline_bound_gnnz": round(bound_gnnz, 1),
+                  "pct_of_bound": round(100 * gnnz / bound_gnnz, 1),
+                  "roofline_model":
+                      "serialized t=nnz*(8B/989GBps + 30ops/4Tflops)",
+                  "platform": dev.platform},
+    }), flush=True)
+
+
+def bench_northstar(n_steps: int = 1000, L: int = 24):
+    """VERDICT r4 item 6: the literal BASELINE sentence — a 2^24-dim
+    sparse lattice Hamiltonian propagated for 1000 Chebyshev steps,
+    recorded end-to-end in ONE artifact: wall-clock, norm drift, a
+    3-step f64-oracle error anchor, and a full forward+backward
+    round-trip error over all 2x1000 steps."""
+    import jax
+    import jax.numpy as jnp
+
+    from quantumpropagators.models.lattice import (
+        chain_bonds, ising_diagonal_np,
+    )
+    from quantumpropagators.ops.cheby import cheby_coeffs
+    from quantumpropagators.ops.fused_cheby import make_flip_plan
+    from quantumpropagators.ops.fused_cheby_dd import (
+        cheby_step_fused_dd, dd_tile_rows, f32_tail_orders,
+    )
+
+    dev = jax.devices()[0]
+    J, g, h = 1.0, 1.2, 0.3
+    N = 2 ** L
+    dt = 0.05
+    bound = J * (L - 1) + abs(h) * L + g * L
+    e_min, delta = -bound, 2 * bound
+    diag64 = ising_diagonal_np(L, chain_bonds(L), J, h)
+    beta = delta / 2.0 + e_min
+    tr = dd_tile_rows(L)
+    plan = make_flip_plan(L, g, tile_rows=tr)
+    c64 = np.asarray(cheby_coeffs(delta, dt))
+    tail = f32_tail_orders(c64)
+    log(f"northstar on {dev.platform}: 2^{L}, {n_steps} steps, "
+        f"{len(c64)} coeffs/step, f32 tail {tail}")
+
+    def dd_split(v):
+        h_ = v.astype(np.float32)
+        return (jnp.asarray(h_),
+                jnp.asarray((v - h_.astype(np.float64)).astype(np.float32)))
+
+    dmb_h, dmb_l = dd_split(diag64 - beta)
+    c_h, c_l = dd_split(c64)
+    rng = np.random.default_rng(1)
+    re0 = rng.standard_normal(N)
+    im0 = rng.standard_normal(N)
+    nrm0 = np.sqrt((re0 ** 2 + im0 ** 2).sum())
+    re0, im0 = re0 / nrm0, im0 / nrm0
+    interp = dev.platform != "tpu"
+
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnames=("n", "sign"))
+    def run_chunk(state, n, sign):
+        def body(s, _):
+            return (
+                cheby_step_fused_dd(
+                    plan, dmb_h, dmb_l, s, c_h, c_l,
+                    delta, e_min, sign * dt, forward=(sign > 0),
+                    f32_tail=tail, interpret=interp,
+                ),
+                None,
+            )
+
+        state, _ = jax.lax.scan(body, state, None, length=n)
+        return state
+
+    state0 = (dd_split(re0)[0], dd_split(re0)[1],
+              dd_split(im0)[0], dd_split(im0)[1])
+    # warm both compiles (fwd + bwd) on short chunks
+    np.asarray(run_chunk(run_chunk(state0, 2, 1), 2, -1)[0])
+
+    # --- 3-step oracle anchor (host f64; ~10 CPU-min at 2^24)
+    state3 = run_chunk(state0, 3, 1)
+    got3 = (
+        np.asarray(state3[0], np.float64) + np.asarray(state3[1], np.float64)
+    ) + 1j * (
+        np.asarray(state3[2], np.float64) + np.asarray(state3[3], np.float64)
+    )
+    psi = (
+        np.asarray(state0[0], np.float64) + np.asarray(state0[1], np.float64)
+    ) + 1j * (
+        np.asarray(state0[2], np.float64) + np.asarray(state0[3], np.float64)
+    )
+    idx = np.arange(N)
+    c = -2.0j / delta
+
+    def hmat(v):
+        out = diag64 * v
+        for j in range(L):
+            out = out + g * v[idx ^ (1 << j)]
+        return out
+
+    ref = psi
+    for _ in range(3):
+        v0 = ref
+        v1 = c * (hmat(v0) - beta * v0)
+        phi = c64[0] * v0 + c64[1] * v1
+        for a in c64[2:]:
+            v2 = 2.0 * c * (hmat(v1) - beta * v1) + v0
+            phi = phi + a * v2
+            v0, v1 = v1, v2
+        ref = np.exp(-1j * beta * dt) * phi
+    per_step_err = float(np.abs(got3 - ref).max()) / 3.0
+    log(f"northstar 3-step oracle: per-step err {per_step_err:.2e}")
+
+    # --- the 1000-step forward run, timed in chunks
+    chunk = min(100, n_steps)
+    n_chunks, rem = divmod(n_steps, chunk)
+    state = state0
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        state = run_chunk(state, chunk, 1)
+    if rem:
+        state = run_chunk(state, rem, 1)
+    np.asarray(state[0])
+    t_fwd = time.perf_counter() - t0
+    rh, rl, ih, il = state
+    nrm = float(np.sqrt(np.sum(
+        (np.asarray(rh, np.float64) + np.asarray(rl, np.float64)) ** 2
+        + (np.asarray(ih, np.float64) + np.asarray(il, np.float64)) ** 2
+    )))
+    steps_per_s = n_steps / t_fwd
+    matvecs = n_steps * (len(c64) - 1)
+    nnz = (L + 1) * N  # diagonal + L site-flip planes
+    gnnz = matvecs * nnz / t_fwd / 1e9
+    log(f"northstar forward: {t_fwd:.1f} s for {n_steps} steps "
+        f"({steps_per_s:.2f} steps/s, {gnnz:.1f} Gnnz/s), "
+        f"norm drift {abs(nrm - 1.0):.2e}")
+
+    # --- backward: 1000 more steps; total round-trip error
+    for _ in range(n_chunks):
+        state = run_chunk(state, chunk, -1)
+    if rem:
+        state = run_chunk(state, rem, -1)
+    rh, rl, ih, il = state
+    back = (
+        np.asarray(rh, np.float64) + np.asarray(rl, np.float64)
+    ) + 1j * (
+        np.asarray(ih, np.float64) + np.asarray(il, np.float64)
+    )
+    rt_err = float(np.abs(back - psi).max())
+    log(f"northstar round trip ({2 * n_steps} steps): max err {rt_err:.2e}")
+
+    print(json.dumps({
+        "metric": f"northstar_cheby_2^{L}_{n_steps}steps",
+        "value": round(steps_per_s, 3),
+        "unit": "steps/s",
+        "vs_baseline": None,
+        "extra": {"wall_clock_s": round(t_fwd, 1),
+                  "n_steps": n_steps,
+                  "gnnz_per_s": round(gnnz, 1),
+                  "norm_drift": abs(nrm - 1.0),
+                  "per_step_err_vs_f64_oracle": per_step_err,
+                  "round_trip_2000_step_err": rt_err,
+                  "matvecs_per_step": len(c64) - 1,
+                  "f32_tail_orders": tail,
+                  "platform": dev.platform},
+    }), flush=True)
+
+
 def run_suite():
     """All five BASELINE configs, one JSON line each (VERDICT item 7).
 
@@ -721,7 +1016,8 @@ def run_suite():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config",
-                    choices=("rabi", "transmon", "optomech", "newton"),
+                    choices=("rabi", "transmon", "optomech", "newton",
+                             "banded20", "northstar"),
                     default=None,
                     help="run one of the small BASELINE configs instead "
                          "of the headline chain/lattice measurement "
@@ -835,6 +1131,18 @@ def main():
         return
     if args.config == "optomech":
         bench_optomech()
+        return
+    if args.config == "banded20":
+        bench_banded20(
+            L_dim=args.L or 20,
+            tile_rows=(args.tile_rows if args.tile_rows != 512 else 8),
+        )
+        return
+    if args.config == "northstar":
+        bench_northstar(
+            n_steps=(args.steps if args.steps != 20 else 1000),
+            L=args.L or 24,
+        )
         return
 
     import jax

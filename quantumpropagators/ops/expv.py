@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.linalg
@@ -28,6 +29,18 @@ __all__ = ["expv_apply", "expv_apply_dd"]
 
 def _combine(q, weights):
     return jnp.tensordot(jnp.asarray(weights).astype(q.dtype), q, axes=(0, 0))
+
+
+@jax.jit
+def _combine_dd(q4, W4):
+    """Jitted dd combine ``β·Σᵢ wᵢ qᵢ`` (module-level: a per-call inner
+    ``jax.jit`` would recompile every step)."""
+    from .df64 import CDD, DD
+    from .dd_linalg import cdd_combine
+
+    basis = CDD(DD(q4.re.hi, q4.re.lo), DD(q4.im.hi, q4.im.lo))
+    w = CDD(DD(W4[0], W4[1]), DD(W4[2], W4[3]))
+    return cdd_combine(basis, w)
 
 
 def expv_apply(
@@ -124,17 +137,6 @@ def expv_apply_dd(
     N = psi.re.hi.shape[-1]
     m = min(m, N)
 
-    @jax.jit
-    def combine(q4, W4):
-        def rows(basis):
-            return CDD(
-                DD(basis.re.hi, basis.re.lo),
-                DD(basis.im.hi, basis.im.lo),
-            )
-
-        w = CDD(DD(W4[0], W4[1]), DD(W4[2], W4[3]))
-        return cdd_combine(rows(q4), w)
-
     while True:
         Hess, q, m_eff = arnoldi_dd(op, v, m, dt, norm_min=norm_min)
         Hm = Hess[:m_eff, :m_eff]
@@ -154,4 +156,4 @@ def expv_apply_dd(
             DD(q.re.hi[:m_eff], q.re.lo[:m_eff]),
             DD(q.im.hi[:m_eff], q.im.lo[:m_eff]),
         )
-        return combine(q_rows, _split_c128_planes(weights))
+        return _combine_dd(q_rows, _split_c128_planes(weights))

@@ -265,6 +265,7 @@ def newton_leja_propagate_dd(
     observable_fn=None,
     store_states: bool = False,
     specrange_buffer: float = 0.01,
+    dd_operator_terms=None,
     **cheby_kwargs,
 ):
     """Propagate ``psi0`` over all of ``tlist`` with the fixed-Leja
@@ -317,7 +318,7 @@ def newton_leja_propagate_dd(
         ops = [generator]
         table = np.zeros((len(tlist) - 1, 0))
     op_proto = Operator(ops, np.zeros((table.shape[1],)))
-    terms = build_dd_terms(op_proto)
+    terms = build_dd_terms(op_proto, dd_operator_terms)
     n_steps = len(tlist) - 1
     ctab4 = np.stack(
         [

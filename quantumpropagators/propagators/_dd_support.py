@@ -31,14 +31,33 @@ def resolve_dd_precision(precision: str) -> str:
     return precision
 
 
-def build_dd_terms(op_proto) -> tuple:
+def build_dd_terms(op_proto, host_terms=None) -> tuple:
     """dd-split every term of a prototype interval Operator ONCE at
     init (host-side): term data never changes across steps or control
-    updates (the coeffs-as-data invariant, SURVEY §7.1)."""
+    updates (the coeffs-as-data invariant, SURVEY §7.1).
+
+    ``host_terms`` (the ``dd_operator_terms`` propagator kwarg): host
+    f64 matrices (scipy/numpy), one per generator term in order.  On
+    f32-only backends the generator's device operator data has already
+    been rounded to f32 at construction — double-float built from it is
+    capped at ~6e-8 operator accuracy.  Supplying the f64 sources here
+    restores the full dd entry precision (~2⁻⁴⁸), which the 1e-10
+    contract configs need."""
     from ..models.generators import Operator
     from ..ops.dd_linalg import cdd_op_from_matrix
     from ..ops.operators import to_scipy_sparse
 
+    if host_terms is not None:
+        terms = list(host_terms)
+        n_expect = (
+            len(op_proto.ops) if isinstance(op_proto, Operator) else 1
+        )
+        if len(terms) != n_expect:
+            raise ValueError(
+                f"dd_operator_terms has {len(terms)} terms; the "
+                f"generator has {n_expect}"
+            )
+        return tuple(cdd_op_from_matrix(t) for t in terms)
     terms = op_proto.ops if isinstance(op_proto, Operator) else [op_proto]
     return tuple(cdd_op_from_matrix(to_scipy_sparse(t)) for t in terms)
 

@@ -44,6 +44,7 @@ class KrylovPropagator(PWCPropagatorBase):
         tol: Optional[float] = None,
         norm_min: float = 1e-15,
         precision: str = "auto",
+        dd_operator_terms=None,
         **_ignored,
     ):
         super().__init__(
@@ -57,7 +58,9 @@ class KrylovPropagator(PWCPropagatorBase):
         self._state_dd = None
         self._dd_terms = None
         if self.precision == "dd":
-            self._dd_terms = build_dd_terms(self._interval_operator(0))
+            self._dd_terms = build_dd_terms(
+                self._interval_operator(0), dd_operator_terms
+            )
             self._state_dd = state_to_cdd(state)
 
     def set_state(self, state):
@@ -111,7 +114,7 @@ class KrylovPropagator(PWCPropagatorBase):
 
 def _factory(state, generator, tlist, **kwargs):
     keep = ("backward", "parameters", "m_max", "tol", "norm_min",
-            "precision")
+            "precision", "dd_operator_terms")
     return KrylovPropagator(
         state, generator, tlist, **{k: v for k, v in kwargs.items() if k in keep}
     )

@@ -46,6 +46,7 @@ class NewtonPropagator(PWCPropagatorBase):
         relerr: float = 1e-12,
         max_restarts: int = 50,
         precision: str = "auto",
+        dd_operator_terms=None,
         **_ignored,
     ):
         super().__init__(
@@ -62,7 +63,9 @@ class NewtonPropagator(PWCPropagatorBase):
         self._state_dd = None
         self._dd_terms = None
         if self.precision == "dd":
-            self._dd_terms = build_dd_terms(self._interval_operator(0))
+            self._dd_terms = build_dd_terms(
+                self._interval_operator(0), dd_operator_terms
+            )
             self._state_dd = state_to_cdd(state)
 
     def set_state(self, state):
@@ -131,6 +134,7 @@ def _factory(state, generator, tlist, **kwargs):
         "relerr",
         "max_restarts",
         "precision",
+        "dd_operator_terms",
     )
     return NewtonPropagator(
         state, generator, tlist, **{k: v for k, v in kwargs.items() if k in keep}
