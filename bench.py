@@ -164,10 +164,22 @@ def bench_transmon():
     psi0 = np.zeros(N, complex)
     psi0[0] = 1.0
     tlist = np.linspace(0.0, 10.0, 101)  # 100 steps
+    # host-side spectral envelope over the control range (the remote
+    # TPU tunnel cannot transfer operator planes back for specrange's
+    # exact-diag path; N=10 is host-trivial anyway)
+    _H0d, _Hdd = H0.toarray(), Hd.toarray()
+    _ev = np.concatenate([
+        np.linalg.eigvalsh(_H0d - 0.3 * _Hdd),
+        np.linalg.eigvalsh(_H0d + 0.3 * _Hdd),
+    ])
+    _buf = 0.02 * (_ev.max() - _ev.min())
+    sr_kw = dict(specrange_method="manual",
+                 E_min=float(_ev.min() - _buf),
+                 E_max=float(_ev.max() + _buf))
     results = {}
     psis = {}
     enable_timings()
-    for method, kw in (("cheby", {}), ("newton", {"m_max": 8})):
+    for method, kw in (("cheby", dict(sr_kw)), ("newton", {"m_max": 8})):
         prop = qp.init_prop(jnp.asarray(psi0), gen, tlist, method=method, **kw)
         # warm the compile caches, then re-init and time
         while qp.prop_step(prop) is not None:
@@ -241,12 +253,14 @@ def bench_transmon():
     out, _, plan = newton_leja_propagate_dd(
         jnp.asarray(psi0), gen, tlist, tol=1e-13,
         dd_operator_terms=dd_terms,
+        e_min=sr_kw["E_min"], e_max=sr_kw["E_max"],
     )
     np.asarray(out.re.hi)  # sync (warm compile)
     t0 = time.perf_counter()
     out, _, plan = newton_leja_propagate_dd(
         jnp.asarray(psi0), gen, tlist, tol=1e-13,
         dd_operator_terms=dd_terms,
+        e_min=sr_kw["E_min"], e_max=sr_kw["E_max"],
     )
     np.asarray(out.re.hi)
     leja_rate = round(100 / (time.perf_counter() - t0), 1)
@@ -403,7 +417,8 @@ def bench_newton():
     lmin = float(_eigsh(H64, k=1, which="SA",
                         return_eigenvectors=False)[0])
     buf = 0.01 * (lmax - lmin)
-    tl = np.arange(0, (n_steps + 1) * dt - 1e-9, dt)
+    n_leja_steps = 100  # one compiled scan: amortize dispatch latency
+    tl = np.arange(0, (n_leja_steps + 1) * dt - 1e-9, dt)
 
     def leja_run():
         return newton_leja_propagate_dd(
@@ -417,7 +432,7 @@ def bench_newton():
     out_l, _, plan_l = leja_run()
     np.asarray(out_l.re.hi)
     leja_elapsed = time.perf_counter() - t0
-    leja_steps_per_s = n_steps / leja_elapsed
+    leja_steps_per_s = n_leja_steps / leja_elapsed
     got_l = (
         np.asarray(out_l.re.hi, np.float64)
         + np.asarray(out_l.re.lo, np.float64)
@@ -426,7 +441,7 @@ def bench_newton():
         + np.asarray(out_l.im.lo, np.float64)
     )
     exact_l = np.linalg.matrix_power(
-        expm(-1j * H64.toarray() * dt), n_steps
+        expm(-1j * H64.toarray() * dt), n_leja_steps
     ) @ psi0
     err_l = float(np.abs(got_l - exact_l).max())
     log(f"newton fixed-leja dd: {leja_steps_per_s:.1f} steps/s "
@@ -807,6 +822,57 @@ def bench_banded20(L_dim: int = 20, tile_rows: int = 8, dt=None):
     log(f"banded20: {gnnz:.2f} Gnnz/s ({t_steps:.3f} s/step, "
         f"{matvecs} matvecs/step), serialized-model bound "
         f"{bound_gnnz:.1f} Gnnz/s -> {100 * gnnz / bound_gnnz:.0f}%")
+
+    # sharded-kernel overhead probe (VERDICT r4 item 2 "per-shard rate
+    # ≈ single-device rate"): run the halo-extended window mode with
+    # SELF-copied edge tiles — exactly the per-shard compute of the
+    # sharded step at equal local size, minus the ppermute — and
+    # compare matvec-chain throughput against the plain kernel.
+    from functools import partial as _part
+
+    from quantumpropagators.ops.bsr_dd_pallas import (
+        banded_dd_apply_extended,
+    )
+    from quantumpropagators.ops.df64 import dd_mul
+
+    w = tile_rows * b
+    inv_b = DD(jnp.float32(np.float32(1.0 / bound)),
+               jnp.float32(np.float64(1.0 / bound)
+                           - np.float32(1.0 / bound)))
+
+    @_part(jax.jit, static_argnames=("n", "mode"))
+    def mv_chain(xh, xl, n, mode):
+        def body(x, _):
+            if mode == "ext":
+                eh = jnp.concatenate([x.hi[-w:], x.hi, x.hi[:w]])
+                el = jnp.concatenate([x.lo[-w:], x.lo, x.lo[:w]])
+                y = banded_dd_apply_extended(
+                    op, DD(eh, el), tile_rows=tile_rows,
+                    interpret=interp,
+                )
+            else:
+                y = banded_dd_apply(op, x, tile_rows=tile_rows,
+                                    interpret=interp)
+            return dd_mul(y, inv_b), None
+
+        x, _ = jax.lax.scan(body, DD(xh, xl), None, length=n)
+        return x.hi, x.lo
+
+    probe = {}
+    for mode in ("plain", "ext"):
+        mv_chain(*dd_split(x64), 2, mode)  # warm
+        t0 = time.perf_counter()
+        oh, _ = mv_chain(*dd_split(x64), 10, mode)
+        np.asarray(oh)
+        t10 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        oh, _ = mv_chain(*dd_split(x64), 30, mode)
+        np.asarray(oh)
+        t30 = time.perf_counter() - t0
+        probe[mode] = 20 * nnz_stored / (t30 - t10) / 1e9
+        log(f"banded20 matvec-chain [{mode}]: {probe[mode]:.2f} Gnnz/s")
+    shard_overhead_pct = 100 * (1 - probe["ext"] / probe["plain"])
+    log(f"banded20 sharded-window overhead: {shard_overhead_pct:.1f}%")
     print(json.dumps({
         "metric": f"banded_dd_bsr_cheby_2^{L_dim}",
         "value": round(gnnz, 2),
@@ -822,6 +888,107 @@ def bench_banded20(L_dim: int = 20, tile_rows: int = 8, dt=None):
                   "pct_of_bound": round(100 * gnnz / bound_gnnz, 1),
                   "roofline_model":
                       "serialized t=nnz*(8B/989GBps + 30ops/4Tflops)",
+                  "matvec_chain_plain_gnnzs": round(probe["plain"], 2),
+                  "matvec_chain_sharded_window_gnnzs":
+                      round(probe["ext"], 2),
+                  "sharded_window_overhead_pct":
+                      round(shard_overhead_pct, 1),
+                  "platform": dev.platform},
+    }), flush=True)
+
+
+def bench_multiamp(L: int = 20, n_steps: int = 20):
+    """Per-bit f32 tail A/B on a DRIVEN multi-amplitude workload
+    (VERDICT r4 item 5): the reference-shaped ``Ĥ₀ + Σₗ aₗ(t)Ĥₗ``
+    (two independently-driven flip groups + driven diagonal) at 2^L,
+    tail=auto vs tail=0 — the round-4 gate forfeited the measured
+    ~+29% exactly here."""
+    import jax
+    import jax.numpy as jnp
+
+    import quantumpropagators as qp
+    from quantumpropagators.fused import cheby_propagate_fused
+    from quantumpropagators.models.lattice import (
+        SiteOperatorSum, transverse_field_ising,
+    )
+
+    dev = jax.devices()[0]
+    J, h = 1.0, 0.3
+    H_diag, _ = transverse_field_ising(L, J=J, g=1.0, h=h,
+                                       dtype=jnp.float32)
+    sx = np.array([[0.0, 1.0], [1.0, 0.0]])
+    rng = np.random.default_rng(29)
+    g_site = rng.uniform(0.9, 1.3, size=L)
+    mats_odd = np.zeros((L, 2, 2))
+    mats_even = np.zeros((L, 2, 2))
+    for i in range(L):
+        (mats_odd if i % 2 else mats_even)[i] = g_site[i] * sx
+    Hx_odd = SiteOperatorSum(
+        jnp.asarray(mats_odd, jnp.float32), L=L,
+        active=tuple(i % 2 == 1 for i in range(L)),
+    )
+    Hx_even = SiteOperatorSum(
+        jnp.asarray(mats_even, jnp.float32), L=L,
+        active=tuple(i % 2 == 0 for i in range(L)),
+    )
+    eps_d = lambda t: 1.0 + 0.3 * np.sin(0.9 * t)
+    eps_o = lambda t: 1.2 + 0.4 * np.cos(1.7 * t)
+    eps_e = lambda t: 0.9 + 0.5 * np.sin(2.3 * t)
+    gen = qp.hamiltonian(
+        (H_diag, eps_d), (Hx_odd, eps_o), (Hx_even, eps_e), check=False
+    )
+    psi0 = rng.standard_normal(2 ** L) + 1j * rng.standard_normal(2 ** L)
+    psi0 = jnp.asarray((psi0 / np.linalg.norm(psi0)).astype(np.complex64))
+    dt = 0.05
+    bound = 1.3 * (J * (L - 1) + abs(h) * L) + 1.6 * float(
+        np.abs(g_site).sum()
+    )
+    kw = dict(specrange_method="manual", E_min=-bound, E_max=bound)
+    nnz = (L + 1) * 2 ** L
+
+    from quantumpropagators.ops.cheby import ChebyWorkspace
+    from quantumpropagators.propagators.cheby import ChebyPropagator
+
+    ws = ChebyPropagator(
+        psi0, gen, np.linspace(0, n_steps * dt, n_steps + 1), **kw
+    ).wrk
+    n_coeffs = int(np.asarray(ws.coeffs).shape[0])
+
+    rates = {}
+    psis = {}
+    for tail_mode, tail_arg in (("auto", "auto"), ("zero", 0)):
+        def run(n):
+            tl = np.linspace(0.0, n * dt, n + 1)
+            out, _ = cheby_propagate_fused(
+                psi0, gen, tl, kernel="dd", f32_tail=tail_arg, **kw
+            )
+            return out
+
+        run(2)  # warm this tail mode's compile
+        t0 = time.perf_counter()
+        outa = run(n_steps)
+        np.asarray(jnp.real(outa))
+        ta = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        outb = run(3 * n_steps)
+        np.asarray(jnp.real(outb))
+        tb = time.perf_counter() - t0
+        t_step = (tb - ta) / (2 * n_steps)
+        rates[tail_mode] = 2 * (n_coeffs - 1) * nnz / t_step / 1e9
+        psis[tail_mode] = np.asarray(outb)
+        log(f"multiamp tail={tail_mode}: {rates[tail_mode]:.1f} Gnnz/s")
+    diff = float(np.abs(psis["auto"] - psis["zero"]).max())
+    log(f"multiamp A/B state diff (tail-auto vs tail-0): {diff:.2e}")
+    print(json.dumps({
+        "metric": f"multiamp_dd_perbit_tail_2^{L}",
+        "value": round(rates["auto"], 2),
+        "unit": "Gnnz/s",
+        "vs_baseline": round(rates["auto"] / rates["zero"], 3),
+        "extra": {"tail0_gnnzs": round(rates["zero"], 2),
+                  "speedup_from_perbit_tail":
+                      round(rates["auto"] / rates["zero"], 3),
+                  "state_diff_vs_tail0": diff,
+                  "n_steps": n_steps,
                   "platform": dev.platform},
     }), flush=True)
 
@@ -929,15 +1096,12 @@ def bench_northstar(n_steps: int = 1000, L: int = 24):
     per_step_err = float(np.abs(got3 - ref).max()) / 3.0
     log(f"northstar 3-step oracle: per-step err {per_step_err:.2e}")
 
-    # --- the 1000-step forward run, timed in chunks
-    chunk = min(100, n_steps)
-    n_chunks, rem = divmod(n_steps, chunk)
+    # --- the 1000-step forward run: ONE compiled scan (the remote
+    # tunnel costs ~seconds per dispatch; chunking would bill 10x that)
+    np.asarray(run_chunk(state0, n_steps, 1)[0])  # warm the full scan
     state = state0
     t0 = time.perf_counter()
-    for _ in range(n_chunks):
-        state = run_chunk(state, chunk, 1)
-    if rem:
-        state = run_chunk(state, rem, 1)
+    state = run_chunk(state, n_steps, 1)
     np.asarray(state[0])
     t_fwd = time.perf_counter() - t0
     rh, rl, ih, il = state
@@ -954,10 +1118,8 @@ def bench_northstar(n_steps: int = 1000, L: int = 24):
         f"norm drift {abs(nrm - 1.0):.2e}")
 
     # --- backward: 1000 more steps; total round-trip error
-    for _ in range(n_chunks):
-        state = run_chunk(state, chunk, -1)
-    if rem:
-        state = run_chunk(state, rem, -1)
+    np.asarray(run_chunk(state, 2, -1)[0])  # warm backward at n=2 only
+    state = run_chunk(state, n_steps, -1)
     rh, rl, ih, il = state
     back = (
         np.asarray(rh, np.float64) + np.asarray(rl, np.float64)
@@ -1017,7 +1179,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config",
                     choices=("rabi", "transmon", "optomech", "newton",
-                             "banded20", "northstar"),
+                             "banded20", "northstar", "multiamp"),
                     default=None,
                     help="run one of the small BASELINE configs instead "
                          "of the headline chain/lattice measurement "
@@ -1118,6 +1280,22 @@ def main():
                 [sys.executable, here, *passthrough, *extra], check=True
             )
         return
+    if args.config == "multiamp":
+        bench_multiamp(L=args.L or 20,
+                       n_steps=(args.steps if args.steps != 20 else 20))
+        return
+    if args.config == "banded20":
+        bench_banded20(
+            L_dim=args.L or 20,
+            tile_rows=(args.tile_rows if args.tile_rows != 512 else 8),
+        )
+        return
+    if args.config == "northstar":
+        bench_northstar(
+            n_steps=(args.steps if args.steps != 20 else 1000),
+            L=args.L or 24,
+        )
+        return
     if args.L is None:
         args.L = 20
     if args.config == "rabi":
@@ -1131,18 +1309,6 @@ def main():
         return
     if args.config == "optomech":
         bench_optomech()
-        return
-    if args.config == "banded20":
-        bench_banded20(
-            L_dim=args.L or 20,
-            tile_rows=(args.tile_rows if args.tile_rows != 512 else 8),
-        )
-        return
-    if args.config == "northstar":
-        bench_northstar(
-            n_steps=(args.steps if args.steps != 20 else 1000),
-            L=args.L or 24,
-        )
         return
 
     import jax

@@ -144,6 +144,7 @@ def _fused_scan_pallas_dd(
     static_argnames=(
         "plan", "delta", "e_min", "dt", "forward",
         "observable_fn", "store_states", "interpret", "n_steps",
+        "f32_tail",
     ),
 )
 def _fused_scan_pallas_dd_multi(
@@ -164,6 +165,7 @@ def _fused_scan_pallas_dd_multi(
     store_states,
     interpret,
     n_steps,
+    f32_tail=0,
 ):
     """Multi-amplitude dd scan: the reference's ``Ĥ₀ + Σₗ aₗ(t)Ĥₗ``
     (``src/generators.jl:44-61``) with ANY number of independently
@@ -219,7 +221,7 @@ def _fused_scan_pallas_dd_multi(
             plan, step_dmb[0], step_dmb[1], state, c_h, c_l,
             delta, e_min, dt,
             forward=forward, interpret=interpret,
-            flip_scale=tuple(x["cf"]), f32_tail=0,
+            flip_scale=tuple(x["cf"]), f32_tail=f32_tail,
         )
         if observable_fn is not None:
             out = observable_fn(merge(state))
@@ -509,7 +511,7 @@ def _fused_scan_pallas(
 
 
 def _dd_multi_path(fsm, generator, ops, psi0, tlist, workspace, backward,
-                   observable_fn, store_states):
+                   observable_fn, store_states, f32_tail="auto"):
     """Drive :func:`_fused_scan_pallas_dd_multi` from a detected
     multi-term structure: host-side f64 folding of the per-interval
     coefficient tables into (a) the static ``Σ diag − β`` dd planes,
@@ -572,6 +574,13 @@ def _dd_multi_path(fsm, generator, ops, psi0, tlist, workspace, backward,
     plan = make_flip_plan(L, 1.0, tile_rows=dd_tile_rows(L))
     c64 = np.asarray(workspace.coeffs, dtype=np.float64)
     c_h, c_l = _dd_split_np(c64)
+    from .ops.fused_cheby_dd import f32_tail_orders
+
+    # per-bit tail (r4 item 5): same recurrence-sensitivity bound as
+    # the single-amplitude path
+    dd_tail = (
+        f32_tail_orders(c64) if f32_tail == "auto" else int(f32_tail)
+    )
     psi_np = np.asarray(psi0)
     rh, rl = _dd_split_np(psi_np.real)
     ih, il = _dd_split_np(psi_np.imag)
@@ -594,6 +603,7 @@ def _dd_multi_path(fsm, generator, ops, psi0, tlist, workspace, backward,
         store_states,
         not on_tpu,
         n_steps,
+        f32_tail=dd_tail,
     )
     rh, rl, ih, il = state4
     if jax.config.jax_enable_x64:
@@ -707,7 +717,7 @@ def cheby_propagate_fused(
                 )
             return _dd_multi_path(
                 fsm, generator, ops, psi0, tlist, workspace, backward,
-                observable_fn, store_states,
+                observable_fn, store_states, f32_tail=f32_tail,
             )
         plan, diag, diag_pos, flip_pos = fs
         n_cols = int(np.asarray(coeffs_table).shape[1])

@@ -589,8 +589,8 @@ def _first_component_kernel(plan, uniform, variant, n_cross, n_remote,
     o_phl[:] = phl
 
 
-def _tail_component_kernel(plan, n_cross, n_remote, sign, sc_ref,
-                           gs_ref, *refs):
+def _tail_component_kernel(plan, n_cross, n_remote, sign, perbit,
+                           sc_ref, gs_ref, *refs):
     """Pure-f32 Chebyshev iteration, ONE output component X (the
     mixed-precision TAIL: orders whose remaining recurrence-weighted
     Φ contribution is small enough that f32 rounding stays under the
@@ -599,11 +599,19 @@ def _tail_component_kernel(plan, n_cross, n_remote, sign, sc_ref,
 
     ``v2_X = sign·(H'v1)_Y + v0_X``;  ``Φtail_X += a_k·v2_X`` with
     H' = s2·(H−β) pre-folded exactly like the dd kernels (same dmb2/G
-    scalars, hi parts only).  refs: lane01, v1y(1), nb(n_cross),
+    scalars, hi parts only).  refs: lane(1), v1y(1), nb(n_cross),
     remote(n_remote — sharded device-bit planes, HI ONLY: the dropped
     remote compensation is ≤ 2⁻²⁴ relative, inside the tail's own
     eps32 budget and HALF the ICI bytes of the dd exchange), dmb(1),
-    v0x(1), phtx(1) inputs → outputs v2x(1), phtx(1)."""
+    v0x(1), phtx(1) inputs → outputs v2x(1), phtx(1).
+
+    ``perbit`` (multi-amplitude generators, VERDICT r4 item 5): each
+    flip bit carries its own coefficient.  The 7 lane bits then ride a
+    WEIGHTED adjacency matmul (``lane_ref`` holds Σⱼ Gⱼ·flipⱼ built
+    per step outside the kernel — a traced input, zero retracing);
+    row/cross/remote bits read their hi coefficient ``g1+g2`` from the
+    SMEM table per bit.  All per-bit products are plain f32 — the tail
+    budget (~eps32 relative) absorbs them by construction."""
     lane_ref = refs[0]
     vh = refs[1][:]
     nb = [refs[2 + j][:] for j in range(n_cross + n_remote)]
@@ -614,20 +622,33 @@ def _tail_component_kernel(plan, n_cross, n_remote, sign, sc_ref,
     o_v2, o_pht = refs[k + 3:]
 
     ak = sc_ref[0, 0]
-    G = gs_ref[0, 0] + gs_ref[0, 1]  # Veltkamp halves recombine exactly
 
-    # lane flips: ONE MXU matmul with the 0/1 7-bit adjacency.
-    # HIGHEST = full-f32 emulation (~2⁻²⁴ relative, measured): the
-    # tail's own budget is ~3e-7 relative so this is comfortably
-    # inside it; default precision may lower to one-pass bf16 on some
-    # toolchains, which would blow the budget.
+    # lane flips: ONE MXU matmul with the 7-bit adjacency (0/1 when
+    # uniform, per-bit-weighted when perbit).  HIGHEST = full-f32
+    # emulation (~2⁻²⁴ relative, measured): the tail's own budget is
+    # ~3e-7 relative so this is comfortably inside it; default
+    # precision may lower to one-pass bf16 on some toolchains, which
+    # would blow the budget.
     S = jnp.dot(vh, lane_ref[:], preferred_element_type=vh.dtype,
                 precision=jax.lax.Precision.HIGHEST)
-    for j in range(plan.n_row_bits):
-        S = S + _xor_roll_rows(vh, 1 << j)
-    for nbp in nb:
-        S = S + nbp
-    u = vh * dh + G * S
+    in_tile = plan.L - plan.n_cross
+    if perbit:
+        def ghi(idx):
+            return gs_ref[0, 3 * idx] + gs_ref[0, 3 * idx + 1]
+
+        for j in range(plan.n_row_bits):
+            S = S + ghi(_LANE_BITS + j) * _xor_roll_rows(vh, 1 << j)
+        for j, nbp in enumerate(nb):
+            gidx = in_tile + j if j < n_cross else plan.L + (j - n_cross)
+            S = S + ghi(gidx) * nbp
+        u = vh * dh + S
+    else:
+        G = gs_ref[0, 0] + gs_ref[0, 1]  # Veltkamp halves recombine
+        for j in range(plan.n_row_bits):
+            S = S + _xor_roll_rows(vh, 1 << j)
+        for nbp in nb:
+            S = S + nbp
+        u = vh * dh + G * S
     v2 = np.float32(sign) * u + v0h
     o_v2[:] = v2
     o_pht[:] = pht + ak * v2
@@ -808,14 +829,18 @@ def cheby_step_fused_dd(
         variant = "twosum"
     fast = variant in ("sigma", "lomxu", "tlane", "xcross", "mxq")
     xcross = variant == "xcross"
-    # mixed-precision tail (see f32_tail_orders): uniform flip
-    # coefficients only.  Sharded remote bits ride the tail too via
-    # ``extra_nb_hi_fn(re, im) -> [(re_r, im_r), ...]`` — a HI-only
-    # ppermute (half the ICI bytes of the dd exchange; the dropped
-    # remote lo planes are ≤ 2⁻²⁴ relative, inside the tail budget).
+    # mixed-precision tail (see f32_tail_orders).  Non-uniform flip
+    # coefficients (multi-amplitude generators / non-uniform couplings)
+    # run the per-bit tail: weighted lane adjacency + SMEM per-bit
+    # scalars (r4 item 5 — the uniform-only gate is gone).  Sharded
+    # remote bits ride the tail via ``extra_nb_hi_fn(re, im) ->
+    # [(re_r, im_r), ...]`` — a HI-only ppermute (half the ICI bytes
+    # of the dd exchange; the dropped remote lo planes are ≤ 2⁻²⁴
+    # relative, inside the tail budget).
     f32_tail = int(f32_tail)
-    if not uniform or (extra_nb_fn is not None and extra_nb_hi_fn is None):
+    if extra_nb_fn is not None and extra_nb_hi_fn is None:
         f32_tail = 0
+    tail_perbit = not uniform
     n_orders = int(coeffs_h.shape[0])
     f32_tail = max(0, min(f32_tail, n_orders - 3))
 
@@ -887,6 +912,27 @@ def cheby_step_fused_dd(
         )
         lane_kw = {"memory_space": pltpu.VMEM} if _HAS_PLTPU else {}
         lane_spec = pl.BlockSpec((_LANE, _LANE), lambda i: (0, 0), **lane_kw)
+    tail_lane = lane01 if f32_tail else None
+    if f32_tail and tail_perbit:
+        # per-bit tail: the 7 lane bits ride a WEIGHTED adjacency
+        # Σⱼ Gⱼ·flipⱼ built once per step (traced — control updates
+        # never retrace); hi parts only, inside the tail eps32 budget
+        masks = np.stack([
+            _flip_adjacency(np.arange(_LANE_BITS),
+                            np.eye(_LANE_BITS)[j])
+            for j in range(_LANE_BITS)
+        ])
+        if flip_scale is None:
+            tail_lane = jnp.asarray(
+                np.tensordot(base[:_LANE_BITS].astype(np.float32),
+                             masks, axes=(0, 0)),
+                dtype=jnp.float32,
+            )
+        else:
+            tail_lane = jnp.tensordot(
+                ghi[:_LANE_BITS], jnp.asarray(masks, jnp.float32),
+                axes=(0, 0),
+            )
     out4 = [jax.ShapeDtypeStruct((rows, _LANE), rh.dtype)] * 4
     # raise the scoped-VMEM cap when big tiles need it (fewer cross
     # bits ↔ bigger tiles is a net win; measured 76 → 101 Gnnz/s at
@@ -1102,7 +1148,7 @@ def cheby_step_fused_dd(
         )
 
         def run_tail_component(sgn, a_k1, v1y, rem_y, v0x, phtx):
-            args = [lane01, v1y]
+            args = [tail_lane, v1y]
             if xcross:
                 if n_cross:
                     args += [cross_sum(v1y)]
@@ -1114,7 +1160,7 @@ def cheby_step_fused_dd(
             aliases = {n_in - 2: 0, n_in - 1: 1}
             kern = partial(
                 _tail_component_kernel, plan, n_cross_tail,
-                n_remote_tail, sgn,
+                n_remote_tail, sgn, tail_perbit,
             )
             return pl.pallas_call(
                 lambda a_ref, gs_ref, *r: kern(a_ref, gs_ref, *r),

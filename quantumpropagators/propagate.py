@@ -129,8 +129,10 @@ def _propagate_fused(
     from .fused import cheby_propagate_fused
     from .ops.operators import is_operator, op_dot
 
-    if str(method).lower() not in ("cheby", "auto"):
-        raise ValueError("fused=True currently supports method='cheby'")
+    if str(method).lower() not in ("cheby", "auto", "newton_leja"):
+        raise ValueError(
+            "fused=True supports method='cheby' or 'newton_leja'"
+        )
     if callback is not None:
         raise ValueError(
             "fused=True runs entirely on device; per-step host callbacks "
@@ -174,15 +176,33 @@ def _propagate_fused(
                     [jnp.asarray(v) for v in vals]
                 )
 
-    psi_final, outputs = cheby_propagate_fused(
-        state,
-        generator,
-        tlist,
-        observable_fn=observable_fn,
-        store_states=store_states,
-        backward=backward,
-        **kwargs,
-    )
+    if str(method).lower() == "newton_leja":
+        # device-driven fixed-Leja Newton in df64 (Hermitian
+        # generators): the whole grid is one compiled scan — see
+        # ops/newton_leja.py (the TPU-native Newton redesign)
+        from .ops.dd_linalg import cdd_to_device_complex
+        from .ops.newton_leja import newton_leja_propagate_dd
+
+        psi_dd, outputs, _plan = newton_leja_propagate_dd(
+            state,
+            generator,
+            tlist,
+            observable_fn=observable_fn,
+            store_states=store_states,
+            backward=backward,
+            **kwargs,
+        )
+        psi_final = cdd_to_device_complex(psi_dd)
+    else:
+        psi_final, outputs = cheby_propagate_fused(
+            state,
+            generator,
+            tlist,
+            observable_fn=observable_fn,
+            store_states=store_states,
+            backward=backward,
+            **kwargs,
+        )
     out_storage = None
     if storage is not None and storage is not False:
         nt = len(tlist)

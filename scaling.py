@@ -97,30 +97,78 @@ def run_config_banded_dd(n_dev: int, R_local: int, b: int, steps: int,
     # block-tridiagonal symmetric operator with dense random blocks
     diags = rng.normal(size=(R, b, b))
     offd = rng.normal(size=(R - 1, b, b))
-    rows, cols, blocks = [], [], []
-    for r in range(R):
-        for c in (r - 1, r, r + 1):
-            if c < 0 or c >= R:
-                continue
-            if c == r:
-                B = 0.5 * (diags[r] + diags[r].T)
-            elif c == r + 1:
-                B = offd[r]
-            else:
-                B = offd[c].T
-            rows.append(r)
-            cols.append(c)
-            blocks.append(B)
-    indptr = np.concatenate(
-        [[0], np.cumsum(np.bincount(rows, minlength=R))]
-    ).astype(np.int64)
-    A = sp.bsr_matrix(
-        (np.stack(blocks), np.asarray(cols), indptr), shape=(R * b, R * b)
-    ).tocsr()
-    pb = partition_bsr_dd(A, n_dev, block_size=b)
-    # single device: the whole band is slab-local (halo 0)
-    assert pb.halo_blocks == (1 if n_dev > 1 else 0)
-    bound = float(np.abs(A).sum(axis=1).max())
+    if R * b * b <= 1 << 22:
+        # small shards: exercise the scipy partition path end to end
+        rows, cols, blocks = [], [], []
+        for r in range(R):
+            for c in (r - 1, r, r + 1):
+                if c < 0 or c >= R:
+                    continue
+                if c == r:
+                    B = 0.5 * (diags[r] + diags[r].T)
+                elif c == r + 1:
+                    B = offd[r]
+                else:
+                    B = offd[c].T
+                rows.append(r)
+                cols.append(c)
+                blocks.append(B)
+        indptr = np.concatenate(
+            [[0], np.cumsum(np.bincount(rows, minlength=R))]
+        ).astype(np.int64)
+        A = sp.bsr_matrix(
+            (np.stack(blocks), np.asarray(cols), indptr),
+            shape=(R * b, R * b)
+        ).tocsr()
+        pb = partition_bsr_dd(A, n_dev, block_size=b)
+        # single device: the whole band is slab-local (halo 0)
+        assert pb.halo_blocks == (1 if n_dev > 1 else 0)
+        bound = float(np.abs(A).sum(axis=1).max())
+    else:
+        # representative shards (VERDICT r4 item 7: R_local >= 2^10):
+        # build the partitioned blocked-ELL planes directly — the
+        # scipy round trip would cost GBs of index copies for the
+        # same layout
+        from quantumpropagators.parallel.sharded_bsr import (
+            PartitionedBSRdd,
+        )
+
+        k = 3
+        blocks64 = np.zeros((R, k, b, b), dtype=np.float64)
+        cols_np = np.zeros((R, k), dtype=np.int64)
+        sym = 0.5 * (diags + diags.transpose(0, 2, 1))
+        blocks64[:, 1] = sym
+        cols_np[:, 1] = np.arange(R)
+        blocks64[1:, 0] = offd.transpose(0, 2, 1)
+        cols_np[1:, 0] = np.arange(R - 1)
+        cols_np[0, 0] = 0  # padded (zero) block -> local col
+        blocks64[: R - 1, 2] = offd
+        cols_np[: R - 1, 2] = np.arange(1, R)
+        cols_np[R - 1, 2] = R - 1  # padded
+        Rl = R_local
+        wb = 1
+        ext = cols_np.reshape(n_dev, Rl, k) - (
+            np.arange(n_dev)[:, None, None] * Rl - wb
+        )
+        nzmask = np.abs(blocks64).max(axis=(2, 3)) > 0
+        ext = np.where(
+            nzmask.reshape(n_dev, Rl, k), ext, wb
+        )
+        bh = blocks64.astype(np.float32)
+        bl = (blocks64 - bh.astype(np.float64)).astype(np.float32)
+        pb = PartitionedBSRdd(
+            blocks_hi=jnp.asarray(bh.reshape(n_dev, Rl, k, b, b)),
+            blocks_lo=jnp.asarray(bl.reshape(n_dev, Rl, k, b, b)),
+            cols=jnp.asarray(ext.astype(np.int32)),
+            halo_blocks=wb,
+            n_block_rows_local=Rl,
+            n_devices=n_dev,
+            block_size=b,
+            shape=(R * b, R * b),
+        )
+        bound = float(
+            np.abs(blocks64).sum(axis=(1, 3)).max()
+        )
     e_min, delta = -bound, 2 * bound
     c64 = cheby_coeffs(delta, dt)
     c_h = jnp.asarray(c64.astype(np.float32))
@@ -333,16 +381,29 @@ def main():
         or tables["hypercube_dd"]
     )
     last = head[counts[-1]]
+    # self-describing headline (VERDICT r4 item 7): on shared-socket
+    # virtual devices the metric IS total-throughput retention and the
+    # pass criterion is >= 1.0 (the n shards share one socket, so
+    # per-device efficiency reads ~1/n by construction and is only
+    # meaningful on real chips)
     out = {
-        "metric": "weak_scaling_efficiency",
+        "metric": (
+            "weak_scaling_total_retention_shared_virtual" if shared
+            else "weak_scaling_efficiency"
+        ),
         "value": last["total_retention"] if shared else last["efficiency"],
         "unit": (
-            "total nnz/s retention (virtual devices, shared hardware)"
-            if shared else "nnz/s-per-device vs 1 device"
+            "total nnz/s at n devices / total nnz/s at 1 device "
+            "(PASS >= 1.0: virtual devices share one socket)"
+            if shared else "nnz/s-per-device vs 1 device (target >= 0.8)"
+        ),
+        "pass_criterion": (
+            "retention >= 1.0 on shared-socket virtual devices"
+            if shared else "efficiency >= 0.8 on real chips"
         ),
         "vs_baseline": round(
             (last["total_retention"] if shared else last["efficiency"])
-            / 0.8, 3
+            / (1.0 if shared else 0.8), 3
         ),
         "regime": next(
             r for r in ("banded_dd", "hypercube", "hypercube_dd")

@@ -532,3 +532,30 @@ def test_newton_leja_backward_roundtrip():
         jnp.asarray(_cdd_f64(fwd)), gen, tlist, backward=True
     )
     assert np.abs(_cdd_f64(back) - psi0).max() < 1e-11
+
+
+def test_newton_leja_via_propagate_fused():
+    """method='newton_leja' through the public propagate API (fused),
+    incl. observable streaming."""
+    import quantumpropagators as qp
+
+    rng = np.random.default_rng(24)
+    N = 32
+    M0 = rng.normal(size=(N, N))
+    gen = qp.hamiltonian(jnp.asarray(M0 + M0.T, dtype=complex))
+    tlist = np.linspace(0, 0.6, 13)
+    psi0 = rng.normal(size=N) + 1j * rng.normal(size=N)
+    psi0 /= np.linalg.norm(psi0)
+    psi0 = jnp.asarray(psi0)
+    ref = qp.propagate(psi0, gen, tlist, method="cheby")
+    got = qp.propagate(psi0, gen, tlist, method="newton_leja",
+                       fused=True)
+    assert np.abs(np.asarray(got) - np.asarray(ref)).max() < 1e-10
+    n_op = jnp.asarray(np.diag(np.arange(N, dtype=float)), dtype=complex)
+    store = qp.propagate(psi0, gen, tlist, method="newton_leja",
+                         fused=True, storage=True, observables=[n_op])
+    ref_store = qp.propagate(psi0, gen, tlist, method="cheby",
+                             storage=True, observables=[n_op])
+    assert store.shape == (len(tlist),)
+    assert np.allclose(np.asarray(store), np.asarray(ref_store),
+                       atol=1e-9)

@@ -386,3 +386,56 @@ def test_dd_mxq_variant(problem):
             f32_tail=tail,
         )
         assert np.abs(merge(state) - expected).max() < 1e-13, tail
+
+
+def test_dd_perbit_f32_tail_accuracy(problem):
+    """Per-bit mixed-precision f32 tail (VERDICT r4 item 5): with a
+    PER-BIT flip_scale vector (multi-amplitude/non-uniform couplings)
+    the tail no longer disables — the weighted lane adjacency + SMEM
+    per-bit scalars keep the step at 1e-12 vs the tail-free dd step."""
+    op, diag64, psi, e_min, delta = problem
+    dt = 0.1
+    plan = make_flip_plan(L, g, tile_rows=8)
+    dmb_h, dmb_l = _dmb(diag64, delta, e_min)
+    rng = np.random.default_rng(41)
+    # per-bit scale vector (L local bits, no extra bits)
+    fs64 = rng.uniform(0.8, 1.2, size=L)
+    fs = dd_split(fs64)
+    state0 = (*dd_split(psi.real), *dd_split(psi.imag))
+    out_tail = cheby_step_fused_dd(
+        plan, dmb_h, dmb_l, state0, *dd_coeffs(delta, dt),
+        delta, e_min, dt, interpret=True, flip_scale=fs, f32_tail=5,
+    )
+    out_dd = cheby_step_fused_dd(
+        plan, dmb_h, dmb_l, state0, *dd_coeffs(delta, dt),
+        delta, e_min, dt, interpret=True, flip_scale=fs, f32_tail=0,
+    )
+    diff = np.abs(merge(out_tail) - merge(out_dd)).max()
+    assert diff < 1e-12, diff
+    # and against an independent complex128 oracle with the scaled
+    # couplings
+    from quantumpropagators.models.lattice import transverse_field_ising
+
+    idx = np.arange(2 ** L)
+    scaled_g = g * fs64
+
+    def hmat(v):
+        out = diag64 * v
+        for j in range(L):
+            # flip_scale index j = state bit j (LSB)
+            out = out + scaled_g[j] * v[idx ^ (1 << j)]
+        return out
+
+    beta = delta / 2 + e_min
+    c64 = cheby_coeffs(delta, dt)
+    cc = -2.0j / delta
+    v0 = psi
+    v1 = cc * (hmat(v0) - beta * v0)
+    phi = c64[0] * v0 + c64[1] * v1
+    for a in c64[2:]:
+        v2 = 2.0 * cc * (hmat(v1) - beta * v1) + v0
+        phi = phi + a * v2
+        v0, v1 = v1, v2
+    want = np.exp(-1j * beta * dt) * phi
+    err = np.abs(merge(out_tail) - want).max()
+    assert err < 1e-12, err
