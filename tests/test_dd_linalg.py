@@ -559,3 +559,53 @@ def test_newton_leja_via_propagate_fused():
     assert store.shape == (len(tlist),)
     assert np.allclose(np.asarray(store), np.asarray(ref_store),
                        atol=1e-9)
+
+
+def test_newton_dd_backward_roundtrip():
+    """Backward dd Newton exactly reverses forward (the reference's
+    backward-reverses-forward contract, test/test_propagate.jl:53-69)
+    — in dd planes, 1e-11."""
+    import quantumpropagators as qp
+    from quantumpropagators.propagate import propagate_propagator
+
+    rng = np.random.default_rng(25)
+    N = 40
+    M0 = rng.normal(size=(N, N))
+    gen = qp.hamiltonian(jnp.asarray(M0 + M0.T, dtype=complex))
+    tlist = np.linspace(0, 0.5, 11)
+    psi0 = rng.normal(size=N) + 1j * rng.normal(size=N)
+    psi0 /= np.linalg.norm(psi0)
+    psi0 = jnp.asarray(psi0)
+    fwd = qp.init_prop(psi0, gen, tlist, method="newton",
+                       precision="dd", m_max=16)
+    propagate_propagator(fwd)
+    fwd_state = _cdd_f64(fwd.state_dd)
+    bwd = qp.init_prop(jnp.asarray(fwd_state), gen, tlist,
+                       method="newton", precision="dd", m_max=16,
+                       backward=True)
+    propagate_propagator(bwd)
+    assert np.abs(_cdd_f64(bwd.state_dd) - np.asarray(psi0)).max() < 1e-11
+
+
+def test_dd_propagator_reinit_resets_state():
+    """reinit on a dd propagator re-splits the new state into dd
+    planes (set_state override)."""
+    import quantumpropagators as qp
+    from quantumpropagators.propagate import propagate_propagator
+
+    rng = np.random.default_rng(26)
+    N = 24
+    M0 = rng.normal(size=(N, N))
+    gen = qp.hamiltonian(jnp.asarray(M0 + M0.T, dtype=complex))
+    tlist = np.linspace(0, 0.3, 7)
+    psi0 = rng.normal(size=N) + 1j * rng.normal(size=N)
+    psi0 /= np.linalg.norm(psi0)
+    psi0 = jnp.asarray(psi0)
+    prop = qp.init_prop(psi0, gen, tlist, method="expv",
+                        precision="dd", m_max=16)
+    propagate_propagator(prop)
+    first = _cdd_f64(prop.state_dd)
+    qp.reinit_prop(prop, psi0)
+    assert np.abs(_cdd_f64(prop.state_dd) - np.asarray(psi0)).max() < 1e-15
+    propagate_propagator(prop)
+    assert np.abs(_cdd_f64(prop.state_dd) - first).max() < 1e-13
