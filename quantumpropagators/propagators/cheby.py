@@ -46,6 +46,25 @@ def _cheby_step(op, psi, coeffs, delta, e_min, dt, forward, check_normalization)
     )
 
 
+@partial(jax.jit, static_argnames=("delta", "e_min", "dt", "forward"))
+def _cheby_step_dd(op4, state4, c_h, c_l, delta, e_min, dt, forward):
+    """One step-wise dd Chebyshev interval over a
+    :class:`~..ops.dd_linalg.TermsDDOp` — the host-loop (callbacks /
+    per-step storage) path at reference accuracy on f32-only devices.
+    Production long grids should prefer the fused scans
+    (:mod:`quantumpropagators.fused`)."""
+    from ..ops.dd_linalg import apply_cdd_op
+    from ..ops.df64 import CDD, DD
+    from ..ops.df64_sparse import cheby_dd_recurrence
+
+    rh, rl, ih, il = state4
+    out = cheby_dd_recurrence(
+        lambda v: apply_cdd_op(op4, v),
+        CDD(DD(rh, rl), DD(ih, il)), c_h, c_l, delta, e_min, dt, forward,
+    )
+    return out.re.hi, out.re.lo, out.im.hi, out.im.lo
+
+
 def cheby_get_spectral_envelope(generator, tlist, control_ranges, method, **kwargs):
     """Estimate ``(E_min, E_max)`` of ``generator`` over the whole
     propagation, by evaluating at minimal and maximal control values and
@@ -79,11 +98,28 @@ class ChebyPropagator(PWCPropagatorBase):
         check_normalization: bool = False,
         uniform_dt_tolerance: float = 1e-12,
         coeffs_pad_to: int = 8,
+        precision: str = "native",
+        dd_operator_terms=None,
         **specrange_kwargs,
     ):
         super().__init__(
             state, generator, tlist, backward=backward, parameters=parameters
         )
+        # step-wise dd tier (opt-in: the fused scans are the production
+        # dd route; this covers the host-loop path — callbacks,
+        # per-step storage — at reference accuracy on f32-only devices)
+        if precision not in ("native", "dd"):
+            raise ValueError(f"unknown precision={precision!r}")
+        self.precision = precision
+        self._state_dd = None
+        self._dd_terms = None
+        if precision == "dd":
+            from ._dd_support import build_dd_terms, state_to_cdd
+
+            self._dd_terms = build_dd_terms(
+                self._interval_operator(0), dd_operator_terms
+            )
+            self._state_dd = state_to_cdd(state)
         self.specrange_method = specrange_method
         self.specrange_buffer = float(specrange_buffer)
         self.specrange_options = dict(specrange_kwargs)
@@ -148,9 +184,53 @@ class ChebyPropagator(PWCPropagatorBase):
 
     # -- stepping -----------------------------------------------------------
 
+    def set_state(self, state):
+        self.state = state
+        if self.precision == "dd":
+            from ._dd_support import state_to_cdd
+
+            self._state_dd = state_to_cdd(state)
+        return self.state
+
+    @property
+    def state_dd(self):
+        """The full-precision CDD state (``precision='dd'`` only)."""
+        return self._state_dd
+
+    def _prop_step_dd(self):
+        from ..ops.dd_linalg import cdd_to_device_complex
+        from ._dd_support import interval_terms_dd
+
+        n = self.n
+        dt = -self._dt if self.backward else self._dt
+        op4 = interval_terms_dd(self._dd_terms, self._interval_coeffs(n))
+        c64 = np.asarray(self.wrk.coeffs, dtype=np.float64)
+        c_hi = c64.astype(np.float32)
+        state4 = _cheby_step_dd(
+            op4,
+            (self._state_dd.re.hi, self._state_dd.re.lo,
+             self._state_dd.im.hi, self._state_dd.im.lo),
+            c_hi,
+            (c64 - c_hi.astype(np.float64)).astype(np.float32),
+            float(self.wrk.delta), float(self.wrk.e_min), float(dt),
+            not self.backward,
+        )
+        from ..ops.df64 import CDD, DD
+
+        self._state_dd = CDD(
+            DD(state4[0], state4[1]), DD(state4[2], state4[3])
+        )
+        self.state = cdd_to_device_complex(self._state_dd)
+        self.timing_data.count("matvec", self.wrk.coeffs.shape[0] - 1)
+        self._advance()
+        return self.state
+
     def prop_step(self):
         if self._done:
             return None
+        if self.precision == "dd":
+            with self.timing_data.section("prop_step"):
+                return self._prop_step_dd()
         with self.timing_data.section("prop_step"):
             n = self.n
             op = self._interval_operator(n)
@@ -240,6 +320,8 @@ def _factory(state, generator, tlist, **kwargs):
             "E_min",
             "E_max",
             "rng",
+            "precision",
+            "dd_operator_terms",
         )
     }
     return ChebyPropagator(state, generator, tlist, **kwargs)

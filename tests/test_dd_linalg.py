@@ -609,3 +609,40 @@ def test_dd_propagator_reinit_resets_state():
     assert np.abs(_cdd_f64(prop.state_dd) - np.asarray(psi0)).max() < 1e-15
     propagate_propagator(prop)
     assert np.abs(_cdd_f64(prop.state_dd) - first).max() < 1e-13
+
+
+def test_cheby_propagator_stepwise_dd():
+    """Step-wise dd Chebyshev (precision='dd' on the host-loop path):
+    driven system vs the per-interval expm oracle at 1e-11 in dd
+    planes — callbacks/storage users get the reference tier too."""
+    import quantumpropagators as qp
+    from quantumpropagators.models.controls import discretize_on_midpoints
+    from quantumpropagators.propagate import propagate_propagator
+
+    rng = np.random.default_rng(27)
+    N = 40
+    M0 = rng.normal(size=(N, N))
+    H0 = M0 + M0.T
+    M1 = rng.normal(size=(N, N))
+    H1 = 0.25 * (M1 + M1.T)
+    ctrl = lambda t: np.sin(3 * t)
+    gen = qp.hamiltonian(
+        jnp.asarray(H0, dtype=complex),
+        (jnp.asarray(H1, dtype=complex), ctrl),
+    )
+    tlist = np.linspace(0, 0.5, 11)
+    psi0 = rng.normal(size=N) + 1j * rng.normal(size=N)
+    psi0 /= np.linalg.norm(psi0)
+    prop = qp.init_prop(jnp.asarray(psi0), gen, tlist, method="cheby",
+                        precision="dd")
+    assert prop.precision == "dd"
+    propagate_propagator(prop)
+    got = _cdd_f64(prop.state_dd)
+    vals = discretize_on_midpoints(ctrl, tlist)
+    psi = psi0.copy()
+    for n in range(len(tlist) - 1):
+        Hn = H0 + vals[n] * H1
+        psi = scipy.linalg.expm(
+            -1j * (tlist[n + 1] - tlist[n]) * Hn
+        ) @ psi
+    assert np.abs(got - psi).max() < 1e-11
