@@ -179,7 +179,8 @@ def bench_transmon():
     results = {}
     psis = {}
     enable_timings()
-    for method, kw in (("cheby", dict(sr_kw)), ("newton", {"m_max": 8})):
+    for method, kw in (("cheby", dict(sr_kw)),
+                       ("newton", {"m_max": 8, "precision": "native"})):
         prop = qp.init_prop(jnp.asarray(psi0), gen, tlist, method=method, **kw)
         # warm the compile caches, then re-init and time
         while qp.prop_step(prop) is not None:

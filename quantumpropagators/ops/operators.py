@@ -58,6 +58,20 @@ __all__ = [
 ]
 
 
+def host_np(x) -> np.ndarray:
+    """Device→host copy robust to remote backends whose transfer layer
+    rejects some multi-dimensional layouts (observed: 2D operator
+    planes over the remote TPU tunnel raise UNIMPLEMENTED while 1D
+    buffers transfer fine).  Falls back to a device-side flatten —
+    the reshape forces a linear layout — then reshapes on host."""
+    try:
+        return np.asarray(x)
+    except Exception:
+        shape = jnp.shape(x)
+        flat = np.asarray(jnp.reshape(jnp.asarray(x), (-1,)))
+        return flat.reshape(shape)
+
+
 def _register_pytree(cls, data_fields, meta_fields):
     """Register a dataclass as a JAX pytree with static metadata."""
 
@@ -141,7 +155,7 @@ class CSROperator:
         import scipy.sparse as sp
 
         return sp.csr_matrix(
-            (np.asarray(self.data), np.asarray(self.col), np.asarray(self.indptr)),
+            (host_np(self.data), host_np(self.col), host_np(self.indptr)),
             shape=self.shape,
         )
 
@@ -352,8 +366,8 @@ class BSROperator:
         import scipy.sparse as sp
 
         R, k, b, _ = self.blocks.shape
-        blocks = np.asarray(self.blocks).reshape(R * k, b, b)
-        cols = np.asarray(self.cols).reshape(-1)
+        blocks = host_np(self.blocks).reshape(R * k, b, b)
+        cols = host_np(self.cols).reshape(-1)
         rows = np.repeat(np.arange(R, dtype=np.int64), k)
         keep = np.abs(blocks).max(axis=(1, 2)) > 0
         A = sp.bsr_matrix(
@@ -508,10 +522,10 @@ def to_scipy_sparse(op):
     if isinstance(op, (CSROperator, BSROperator)):
         return op.to_scipy()
     if isinstance(op, DiagonalOperator):
-        return sp.diags(np.asarray(op.diag)).tocsr()
+        return sp.diags(host_np(op.diag)).tocsr()
     if isinstance(op, DIAOperator):
         N = op.shape[0]
-        data = np.asarray(op.data)
+        data = host_np(op.data)
         # row-aligned storage -> scipy dia_matrix wants column-aligned:
         # scipy's data[k, j] multiplies column j on diagonal off;
         # ours data[k, i] sits at (i, i+off).  Shift accordingly.
@@ -527,14 +541,14 @@ def to_scipy_sparse(op):
     if isinstance(op, StackedCSROperator):
         return sp.csr_matrix(
             (
-                np.asarray(op.data).sum(axis=0),
-                np.asarray(op.col),
-                np.asarray(op.indptr),
+                host_np(op.data).sum(axis=0),
+                host_np(op.col),
+                host_np(op.indptr),
             ),
             shape=op.shape,
         )
     if isinstance(op, (jnp.ndarray, np.ndarray)):
-        return sp.csr_matrix(np.asarray(op))
+        return sp.csr_matrix(host_np(op))
     # last resort: ScaledOperator / unknown pytree operators
     scale = getattr(op, "coeff", None)
     inner = getattr(op, "operator", None)
