@@ -883,17 +883,19 @@ def bench_banded20(L_dim: int = 20, tile_rows: int = 8, dt=None):
                            - np.float32(1.0 / bound)))
 
     @_part(jax.jit, static_argnames=("n", "mode"))
-    def mv_chain(xh, xl, n, mode):
+    def mv_chain(op_arg, xh, xl, n, mode):
+        # op passed as a pytree ARG: a closure capture would bake the
+        # 3.2 GB planes into the executable as constants
         def body(x, _):
             if mode == "ext":
                 eh = jnp.concatenate([x.hi[-w:], x.hi, x.hi[:w]])
                 el = jnp.concatenate([x.lo[-w:], x.lo, x.lo[:w]])
                 y = banded_dd_apply_extended(
-                    op, DD(eh, el), tile_rows=tile_rows,
+                    op_arg, DD(eh, el), tile_rows=tile_rows,
                     interpret=interp,
                 )
             else:
-                y = banded_dd_apply(op, x, tile_rows=tile_rows,
+                y = banded_dd_apply(op_arg, x, tile_rows=tile_rows,
                                     interpret=interp)
             return dd_mul(y, inv_b), None
 
@@ -902,13 +904,13 @@ def bench_banded20(L_dim: int = 20, tile_rows: int = 8, dt=None):
 
     probe = {}
     for mode in ("plain", "ext"):
-        mv_chain(*dd_split(x64), 2, mode)  # warm
+        mv_chain(op, *dd_split(x64), 2, mode)  # warm
         t0 = time.perf_counter()
-        oh, _ = mv_chain(*dd_split(x64), 10, mode)
+        oh, _ = mv_chain(op, *dd_split(x64), 10, mode)
         np.asarray(oh)
         t10 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        oh, _ = mv_chain(*dd_split(x64), 30, mode)
+        oh, _ = mv_chain(op, *dd_split(x64), 30, mode)
         np.asarray(oh)
         t30 = time.perf_counter() - t0
         probe[mode] = 20 * nnz_stored / (t30 - t10) / 1e9

@@ -489,7 +489,10 @@ def arnoldi_dd(op, psi: CDD, m: int, dt: float = 1.0, *,
     gather dd partials across the mesh (returns the traced Hess planes
     instead of a host array)."""
     if callable(op) and not isinstance(op, (DenseDDOp, CDDOp)):
-        # jax's Partial is a pytree: callables cross the jit boundary
+        # jax's Partial is a pytree: callables cross the jit boundary.
+        # CAVEAT: the jit cache keys on the callable's identity — pass
+        # a module-level function (or a dd operator container) from
+        # hot loops; a fresh lambda per call retraces every call.
         op = jax.tree_util.Partial(op)
     if axis_name is not None:
         return _arnoldi_dd_impl(
