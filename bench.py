@@ -996,7 +996,7 @@ def bench_multiamp(L: int = 20, n_steps: int = 20):
     ws = ChebyPropagator(
         psi0, gen, np.linspace(0, n_steps * dt, n_steps + 1), **kw
     ).wrk
-    n_coeffs = int(np.asarray(ws.coeffs).shape[0])
+    n_coeffs = int(ws.coeffs.shape[0])  # shape only: no device transfer
 
     rates = {}
     psis = {}

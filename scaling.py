@@ -73,7 +73,7 @@ def run_config(n_dev: int, L: int, steps: int, dt: float):
 
 
 def run_config_banded_dd(n_dev: int, R_local: int, b: int, steps: int,
-                         dt: float):
+                         dt: float, comm: str = "banded"):
     """Weak-scaling point for the BANDED df64 BSR regime (BASELINE
     config 5 at reference accuracy): block-tridiagonal operator,
     ``R_local`` block-rows per device, halo exchange of 1 block-row per
@@ -94,9 +94,14 @@ def run_config_banded_dd(n_dev: int, R_local: int, b: int, steps: int,
 
     R = R_local * n_dev
     rng = np.random.default_rng(17)
-    # block-tridiagonal symmetric operator with dense random blocks
+    # block-tridiagonal symmetric operator with dense random blocks;
+    # comm='none' zeroes the hopping blocks (block-diagonal operator,
+    # wb=0: same FLOPs/layout, NO exchange — the emulation-overhead
+    # control)
     diags = rng.normal(size=(R, b, b))
     offd = rng.normal(size=(R - 1, b, b))
+    if comm == "none":
+        offd = np.zeros_like(offd)
     if R * b * b <= 1 << 22:
         # small shards: exercise the scipy partition path end to end
         rows, cols, blocks = [], [], []
@@ -120,9 +125,13 @@ def run_config_banded_dd(n_dev: int, R_local: int, b: int, steps: int,
             (np.stack(blocks), np.asarray(cols), indptr),
             shape=(R * b, R * b)
         ).tocsr()
-        pb = partition_bsr_dd(A, n_dev, block_size=b)
-        # single device: the whole band is slab-local (halo 0)
-        assert pb.halo_blocks == (1 if n_dev > 1 else 0)
+        pb = partition_bsr_dd(
+            A, n_dev, block_size=b,
+            mode=("allgather" if comm == "allgather" else "auto"),
+        )
+        if comm == "banded":
+            # single device: the whole band is slab-local (halo 0)
+            assert pb.halo_blocks == (1 if n_dev > 1 else 0)
         bound = float(np.abs(A).sum(axis=1).max())
     else:
         # representative shards (VERDICT r4 item 7: R_local >= 2^10):
@@ -146,14 +155,25 @@ def run_config_banded_dd(n_dev: int, R_local: int, b: int, steps: int,
         cols_np[: R - 1, 2] = np.arange(1, R)
         cols_np[R - 1, 2] = R - 1  # padded
         Rl = R_local
-        wb = 1
-        ext = cols_np.reshape(n_dev, Rl, k) - (
-            np.arange(n_dev)[:, None, None] * Rl - wb
-        )
-        nzmask = np.abs(blocks64).max(axis=(2, 3)) > 0
-        ext = np.where(
-            nzmask.reshape(n_dev, Rl, k), ext, wb
-        )
+        if comm == "allgather":
+            wb = -1
+            ext = cols_np.reshape(n_dev, Rl, k)  # global ids
+        elif comm == "none":
+            wb = 0
+            ext = cols_np.reshape(n_dev, Rl, k) - (
+                np.arange(n_dev)[:, None, None] * Rl
+            )
+            nzmask = np.abs(blocks64).max(axis=(2, 3)) > 0
+            ext = np.where(nzmask.reshape(n_dev, Rl, k), ext, 0)
+        else:
+            wb = 1
+            ext = cols_np.reshape(n_dev, Rl, k) - (
+                np.arange(n_dev)[:, None, None] * Rl - wb
+            )
+            nzmask = np.abs(blocks64).max(axis=(2, 3)) > 0
+            ext = np.where(
+                nzmask.reshape(n_dev, Rl, k), ext, wb
+            )
         bh = blocks64.astype(np.float32)
         bl = (blocks64 - bh.astype(np.float64)).astype(np.float32)
         pb = PartitionedBSRdd(
@@ -276,7 +296,7 @@ def main():
     ap.add_argument("--dt", type=float, default=0.05)
     ap.add_argument("--mode",
                     choices=("hypercube", "hypercube-dd", "banded-dd",
-                             "both", "all"),
+                             "banded-vs-ag", "both", "all"),
                     default="both",
                     help="hypercube = spin-chain device-bit ppermute "
                          "exchange (ICI-bound regime, f32); "
@@ -342,6 +362,47 @@ def main():
         return results
 
     tables = {}
+    if args.mode == "banded-vs-ag":
+        # controlled comparison at fixed n: same shards, same virtual-
+        # device emulation overhead — ONLY the communication strategy
+        # differs (edge-halo ppermute vs full all_gather).  This
+        # isolates the exchange design where absolute virtual-CPU
+        # retention cannot (per-device emulation overhead dominates it).
+        n = counts[-1]
+        res = {}
+        for comm in ("banded", "allgather", "none"):
+            gnnz = run_config_banded_dd(
+                n, args.R_local, args.block, args.steps, args.dt,
+                comm=comm,
+            )
+            res[comm] = round(gnnz, 4)
+            log(f"{n} devices [{comm}]: {gnnz:.3f} Gnnz/s total")
+        ratio = res["banded"] / max(res["allgather"], 1e-12)
+        exch_cost = 1.0 - res["banded"] / max(res["none"], 1e-12)
+        out = {
+            "metric": "banded_halo_vs_allgather_gnnz_ratio",
+            "value": round(ratio, 3),
+            "unit": (
+                f"banded-halo / all-gather total Gnnz/s at {n} shards "
+                "(same shards, same emulation overhead; >1 = the "
+                "shard-size-independent halo exchange wins)"
+            ),
+            "vs_baseline": None,
+            "n_devices": n,
+            "exchange_cost_vs_no_comm": round(exch_cost, 3),
+            "note": (
+                "'none' = block-diagonal (zero exchange, same FLOPs): "
+                "banded/none isolates the halo-exchange cost from the "
+                "virtual-device emulation overhead that dominates "
+                "absolute retention on a shared host"
+            ),
+            "tables": {"banded": res["banded"],
+                       "allgather": res["allgather"],
+                       "no_comm": res["none"],
+                       "size": f"R_local={args.R_local},b={args.block}"},
+        }
+        print(json.dumps(out), flush=True)
+        return
     if args.mode in ("banded-dd", "both", "all"):
         log("=== banded-dd regime (reference accuracy, halo exchange) ===")
         tables["banded_dd"] = table_for(
