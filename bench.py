@@ -1155,12 +1155,26 @@ def bench_northstar(n_steps: int = 1000, L: int = 24):
     per_step_err = float(np.abs(got3 - ref).max()) / 3.0
     log(f"northstar 3-step oracle: per-step err {per_step_err:.2e}")
 
-    # --- the 1000-step forward run: ONE compiled scan (the remote
-    # tunnel costs ~seconds per dispatch; chunking would bill 10x that)
-    np.asarray(run_chunk(state0, n_steps, 1)[0])  # warm the full scan
+    # --- the 1000-step forward run.  At 2^20 one compiled scan is
+    # best (per-dispatch tunnel overhead ~2 s); at 2^24 a single
+    # ~133 s device program reproducibly crashes the TPU worker
+    # (runtime watchdog), so the run is chunked at ~250 steps
+    # (~35 s/program) and the wall clock honestly includes the few
+    # dispatch overheads.
+    chunk = n_steps if L <= 22 else min(250, n_steps)
+    n_chunks, rem = divmod(n_steps, chunk)
+
+    def run_all(state, sign):
+        for _ in range(n_chunks):
+            state = run_chunk(state, chunk, sign)
+        if rem:
+            state = run_chunk(state, rem, sign)
+        return state
+
+    np.asarray(run_all(state0, 1)[0])  # warm
     state = state0
     t0 = time.perf_counter()
-    state = run_chunk(state, n_steps, 1)
+    state = run_all(state, 1)
     np.asarray(state[0])
     t_fwd = time.perf_counter() - t0
     rh, rl, ih, il = state
@@ -1177,8 +1191,10 @@ def bench_northstar(n_steps: int = 1000, L: int = 24):
         f"norm drift {abs(nrm - 1.0):.2e}")
 
     # --- backward: 1000 more steps; total round-trip error
-    np.asarray(run_chunk(state, 2, -1)[0])  # warm backward at n=2 only
-    state = run_chunk(state, n_steps, -1)
+    np.asarray(run_chunk(state, 2, -1)[0])  # warm backward compile path
+    if chunk != n_steps:
+        np.asarray(run_chunk(state, chunk, -1)[0])  # warm chunk length
+    state = run_all(state, -1)
     rh, rl, ih, il = state
     back = (
         np.asarray(rh, np.float64) + np.asarray(rl, np.float64)
