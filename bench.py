@@ -880,58 +880,51 @@ def bench_banded20(L_dim: int = 20, tile_rows: int = 8, dt=None):
         f"{matvecs} matvecs/step), serialized-model bound "
         f"{bound_gnnz:.1f} Gnnz/s -> {100 * gnnz / bound_gnnz:.0f}%")
 
-    # sharded-kernel overhead probe (VERDICT r4 item 2 "per-shard rate
-    # ≈ single-device rate"): run the halo-extended window mode with
-    # SELF-copied edge tiles — exactly the per-shard compute of the
-    # sharded step at equal local size, minus the ppermute — and
-    # compare matvec-chain throughput against the plain kernel.
-    from functools import partial as _part
-
-    from quantumpropagators.ops.bsr_dd_pallas import (
-        banded_dd_apply_extended,
+    # sharded-step overhead probe (VERDICT r4 item 2 "per-shard rate
+    # ≈ single-device rate"): run the ACTUAL sharded banded dd
+    # Chebyshev step on a 1-device mesh on this chip — halo-extended
+    # window kernel + self-ppermute, exactly each shard's program at
+    # equal local size — and compare step rate with the unsharded
+    # kernel measured above.
+    from quantumpropagators.parallel.mesh import chain_mesh, \
+        shard_vector
+    from quantumpropagators.parallel.sharded_banded import (
+        make_sharded_banded_cheby_step_dd, partition_banded_dd,
     )
-    from quantumpropagators.ops.df64 import dd_mul
 
-    w = tile_rows * b
-    inv_b = DD(jnp.float32(np.float32(1.0 / bound)),
-               jnp.float32(np.float64(1.0 / bound)
-                           - np.float32(1.0 / bound)))
+    pb1 = partition_banded_dd(op, 1, tile_rows=tile_rows)
+    mesh1 = chain_mesh(1)
+    sstep = make_sharded_banded_cheby_step_dd(
+        mesh1, pb1, delta=delta, e_min=e_min, dt=dt,
+        interpret=interp,
+    )
+    ch_, cl_ = dd_split(np.asarray(c64, np.float64))
+    st4 = tuple(
+        shard_vector(mesh1, p)
+        for p in (*dd_split(x64), *dd_split(y64))
+    )
 
-    @_part(jax.jit, static_argnames=("n", "mode"))
-    def mv_chain(op_arg, xh, xl, n, mode):
-        # op passed as a pytree ARG: a closure capture would bake the
-        # 3.2 GB planes into the executable as constants
-        def body(x, _):
-            if mode == "ext":
-                eh = jnp.concatenate([x.hi[-w:], x.hi, x.hi[:w]])
-                el = jnp.concatenate([x.lo[-w:], x.lo, x.lo[:w]])
-                y = banded_dd_apply_extended(
-                    op_arg, DD(eh, el), tile_rows=tile_rows,
-                    interpret=interp,
-                )
-            else:
-                y = banded_dd_apply(op_arg, x, tile_rows=tile_rows,
-                                    interpret=interp)
-            return dd_mul(y, inv_b), None
+    def srun(st, n):
+        for _ in range(n):
+            st = sstep(pb1, tuple(st), ch_, cl_)
+        return st
 
-        x, _ = jax.lax.scan(body, DD(xh, xl), None, length=n)
-        return x.hi, x.lo
-
-    probe = {}
-    for mode in ("plain", "ext"):
-        mv_chain(op, *dd_split(x64), 2, mode)  # warm
-        t0 = time.perf_counter()
-        oh, _ = mv_chain(op, *dd_split(x64), 10, mode)
-        np.asarray(oh)
-        t10 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        oh, _ = mv_chain(op, *dd_split(x64), 30, mode)
-        np.asarray(oh)
-        t30 = time.perf_counter() - t0
-        probe[mode] = 20 * nnz_stored / (t30 - t10) / 1e9
-        log(f"banded20 matvec-chain [{mode}]: {probe[mode]:.2f} Gnnz/s")
-    shard_overhead_pct = 100 * (1 - probe["ext"] / probe["plain"])
-    log(f"banded20 sharded-window overhead: {shard_overhead_pct:.1f}%")
+    st = srun(st4, 1)  # compile
+    np.asarray(st[0])
+    t0 = time.perf_counter()
+    sa = srun(st4, na)
+    np.asarray(sa[0])
+    ta_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sb = srun(st4, nb_)
+    np.asarray(sb[0])
+    tb_s = time.perf_counter() - t0
+    t_step_s = (tb_s - ta_s) / (nb_ - na)
+    gnnz_sharded = matvecs * nnz_stored / t_step_s / 1e9
+    shard_overhead_pct = 100 * (1 - gnnz_sharded / gnnz)
+    log(f"banded20 sharded step (1-device mesh): "
+        f"{gnnz_sharded:.2f} Gnnz/s -> window+permute overhead "
+        f"{shard_overhead_pct:.1f}% vs unsharded")
     print(json.dumps({
         "metric": f"banded_dd_bsr_cheby_2^{L_dim}",
         "value": round(gnnz, 2),
@@ -947,10 +940,8 @@ def bench_banded20(L_dim: int = 20, tile_rows: int = 8, dt=None):
                   "pct_of_bound": round(100 * gnnz / bound_gnnz, 1),
                   "roofline_model":
                       "serialized t=nnz*(8B/989GBps + 30ops/4Tflops)",
-                  "matvec_chain_plain_gnnzs": round(probe["plain"], 2),
-                  "matvec_chain_sharded_window_gnnzs":
-                      round(probe["ext"], 2),
-                  "sharded_window_overhead_pct":
+                  "sharded_step_1dev_gnnzs": round(gnnz_sharded, 2),
+                  "sharded_step_overhead_pct":
                       round(shard_overhead_pct, 1),
                   "platform": dev.platform},
     }), flush=True)
