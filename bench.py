@@ -988,7 +988,9 @@ def bench_multiamp(L: int = 20, n_steps: int = 20):
         (H_diag, eps_d), (Hx_odd, eps_o), (Hx_even, eps_e), check=False
     )
     psi0 = rng.standard_normal(2 ** L) + 1j * rng.standard_normal(2 ** L)
-    psi0 = jnp.asarray((psi0 / np.linalg.norm(psi0)).astype(np.complex64))
+    # keep the state HOST-side (complex uploads poison this tunnel;
+    # the dd path splits to real planes host-side anyway)
+    psi0 = (psi0 / np.linalg.norm(psi0)).astype(np.complex64)
     dt = 0.05
     bound = 1.3 * (J * (L - 1) + abs(h) * L) + 1.6 * float(
         np.abs(g_site).sum()
