@@ -1027,7 +1027,9 @@ def bench_multiamp(L: int = 20, n_steps: int = 20):
         tb = time.perf_counter() - t0
         t_step = (tb - ta) / (2 * n_steps)
         rates[tail_mode] = 2 * (n_coeffs - 1) * nnz / t_step / 1e9
-        psis[tail_mode] = np.asarray(outb)
+        # fetch via REAL planes (complex transfers unimplemented here)
+        psis[tail_mode] = np.asarray(jnp.real(outb), np.float64) \
+            + 1j * np.asarray(jnp.imag(outb), np.float64)
         log(f"multiamp tail={tail_mode}: {rates[tail_mode]:.1f} Gnnz/s")
     diff = float(np.abs(psis["auto"] - psis["zero"]).max())
     log(f"multiamp A/B state diff (tail-auto vs tail-0): {diff:.2e}")

@@ -38,6 +38,7 @@ __all__ = [
     "PartitionedBandedDD",
     "partition_banded_dd",
     "banded_pallas_apply_dd",
+    "banded_pallas_apply_cdd",
     "make_sharded_banded_cheby_step_dd",
     "make_sharded_dd_cheby_step",
 ]
@@ -155,6 +156,49 @@ def banded_pallas_apply_dd(
     )
 
 
+def banded_pallas_apply_cdd(
+    pb: PartitionedBandedDD, v, *, axis_name=STATE_AXIS,
+    interpret: bool = False,
+):
+    """Complex df64 banded SpMV with ONE halo exchange per direction
+    for ALL FOUR dd planes (re/im × hi/lo stacked into a single
+    ``(4, w)`` buffer per side).
+
+    The measured motivation (`docs/bench_r05/banded20.json`): with
+    per-plane exchanges the 1-device-mesh sharded step ran 28.5% below
+    the unsharded kernel — 8 ppermute launches per polynomial order
+    serialize against the Pallas grid; batching them into 2 removes
+    most of that."""
+    from ..ops.df64 import CDD, DD
+
+    w = pb.tile_rows * pb.b
+    n_dev = pb.n_devices
+    planes = (v.re.hi, v.re.lo, v.im.hi, v.im.lo)
+    right_perm = [(s, (s + 1) % n_dev) for s in range(n_dev)]
+    left_perm = [(s, (s - 1) % n_dev) for s in range(n_dev)]
+    tails = jnp.stack([p[-w:] for p in planes])
+    heads = jnp.stack([p[:w] for p in planes])
+    left_halo = jax.lax.ppermute(tails, axis_name, right_perm)
+    right_halo = jax.lax.ppermute(heads, axis_name, left_perm)
+    op_local = BandedDD(
+        planes_hi=pb.planes_hi, planes_lo=pb.planes_lo,
+        offsets=pb.offsets, R=pb.R_local, b=pb.b,
+        shape=(pb.R_local * pb.b, pb.R_local * pb.b),
+        logical_nnz=0,
+    )
+
+    def ext(k):
+        return jnp.concatenate([left_halo[k], planes[k], right_halo[k]])
+
+    def comp(hi_k, lo_k):
+        return banded_dd_apply_extended(
+            op_local, DD(ext(hi_k), ext(lo_k)),
+            tile_rows=pb.tile_rows, interpret=interpret,
+        )
+
+    return CDD(comp(0, 1), comp(2, 3))
+
+
 def make_sharded_banded_cheby_step_dd(
     mesh: Mesh,
     pb: PartitionedBandedDD,
@@ -190,9 +234,8 @@ def make_sharded_banded_cheby_step_dd(
         )
         psi = CDD(DD(rh, rl), DD(ih, il))
         out = cheby_dd_recurrence(
-            lambda v: CDD(
-                banded_pallas_apply_dd(p_local, v.re, interpret=interpret),
-                banded_pallas_apply_dd(p_local, v.im, interpret=interpret),
+            lambda v: banded_pallas_apply_cdd(
+                p_local, v, interpret=interpret
             ),
             psi, c_h, c_l, delta, e_min, dt, forward,
         )
