@@ -436,9 +436,12 @@ def bench_newton():
     n_leja_steps = 100  # one compiled scan: amortize dispatch latency
     tl = np.arange(0, (n_leja_steps + 1) * dt - 1e-9, dt)
 
+    H64d = H64.toarray()  # N=1024: the dense dd matvec (one fused
+    # VPU contraction) beats the small-block BSR chain per node
+
     def leja_run():
         return newton_leja_propagate_dd(
-            psi0, H64, tl,
+            psi0, H64d, tl,
             e_min=lmin - buf, e_max=lmax + buf, tol=1e-13,
         )
 
