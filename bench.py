@@ -440,8 +440,10 @@ def bench_newton():
     # VPU contraction) beats the small-block BSR chain per node
 
     def leja_run():
+        # dd_operator_terms=[dense] selects DenseDDOp (scipy input
+        # would re-route to the sparse chain)
         return newton_leja_propagate_dd(
-            psi0, H64d, tl,
+            psi0, H64, tl, dd_operator_terms=[H64d],
             e_min=lmin - buf, e_max=lmax + buf, tol=1e-13,
         )
 
