@@ -1021,7 +1021,11 @@ def bench_multiamp(L: int = 20, n_steps: int = 20):
             )
             return out
 
-        run(2)  # warm this tail mode's compile
+        # warm BOTH scan lengths (each length is its own executable;
+        # an unwarmed length would bill its remote compile to the
+        # difference timing)
+        np.asarray(jnp.real(run(n_steps)))
+        np.asarray(jnp.real(run(3 * n_steps)))
         t0 = time.perf_counter()
         outa = run(n_steps)
         np.asarray(jnp.real(outa))
