@@ -74,19 +74,15 @@ def test_sharded_banded_apply_matches_f64(mesh, problem):
     A, N, rng = problem
     pb = partition_banded_dd(A, 8, tile_rows=2, block=8)
     x64 = rng.normal(size=N)
-    meta = dict(
-        offsets=pb.offsets, R_local=pb.R_local, n_devices=pb.n_devices,
-        b=pb.b, tile_rows=pb.tile_rows, shape=pb.shape,
-        logical_nnz=pb.logical_nnz,
-    )
-    spec = PartitionedBandedDD(
-        planes_hi=P(STATE_AXIS), planes_lo=P(STATE_AXIS), **meta
+    from quantumpropagators.parallel.sharded_banded import (
+        _pb_local, _pb_meta, _pb_spec,
     )
 
+    meta = _pb_meta(pb)
+    spec = _pb_spec(meta)
+
     def fn(p, h, l):
-        p_local = PartitionedBandedDD(
-            planes_hi=p.planes_hi[0], planes_lo=p.planes_lo[0], **meta
-        )
+        p_local = _pb_local(p, meta)
         y = banded_pallas_apply_dd(p_local, DD(h, l), interpret=True)
         return y.hi, y.lo
 
