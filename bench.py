@@ -1066,20 +1066,19 @@ def bench_multiamp(L: int = 20, n_steps: int = 20):
             )
             return out
 
-        # warm BOTH scan lengths (each length is its own executable;
-        # an unwarmed length would bill its remote compile to the
-        # difference timing)
-        np.asarray(jnp.real(run(n_steps)))
-        np.asarray(jnp.real(run(3 * n_steps)))
-        t0 = time.perf_counter()
-        outa = run(n_steps)
-        np.asarray(jnp.real(outa))
-        ta = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        outb = run(3 * n_steps)
-        np.asarray(jnp.real(outb))
-        tb = time.perf_counter() - t0
-        t_step = (tb - ta) / (2 * n_steps)
+        # min-of-3 same-length timing: difference timing across two
+        # scan lengths proved unstable through the tunnel (server
+        # contention produced negative differences); the A/B ratio
+        # only needs the two modes measured the same way
+        n_run = 3 * n_steps
+        np.asarray(jnp.real(run(n_run)))  # warm
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outb = run(n_run)
+            np.asarray(jnp.real(outb))
+            best = min(best, time.perf_counter() - t0)
+        t_step = best / n_run
         rates[tail_mode] = 2 * (n_coeffs - 1) * nnz / t_step / 1e9
         # fetch via REAL planes (complex transfers unimplemented here)
         psis[tail_mode] = np.asarray(jnp.real(outb), np.float64) \
