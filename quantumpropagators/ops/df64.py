@@ -278,13 +278,14 @@ def _cheby_dd_impl(psi, diag, coeffs_hi, coeffs_lo, delta, e_min, dt, L,
         body, (v0, v1, phi), (coeffs_hi[2:], coeffs_lo[2:])
     )
 
-    # global phase exp(-i β dt), computed on host in f64
+    # global phase exp(-i β dt), computed on host in f64.  The phase
+    # multiply goes through the x64-guarded helper: XLA CPU constant-
+    # folds the dd product's EFTs for in-graph constant phases (see
+    # df64_sparse._phase_scale — the β≠0 latent-bug fix)
+    from .df64_sparse import _phase_scale
+
     ph = np.exp(-1j * (float(delta) / 2.0 + float(e_min)) * float(dt))
-    phase = CDD(
-        DD(*(jnp.float32(v) for v in _split_f64(ph.real))),
-        DD(*(jnp.float32(v) for v in _split_f64(ph.imag))),
-    )
-    return cdd_scale(phi, phase)
+    return _phase_scale(phi, ph)
 
 
 def _split_f64(v: float):

@@ -226,6 +226,31 @@ def cheby_dd_recurrence(apply_cdd, psi: CDD, coeffs_hi, coeffs_lo,
         body, (v0, v1, phi), (coeffs_hi[2:], coeffs_lo[2:])
     )
     ph = np.exp(-1j * (float(delta) / 2.0 + float(e_min)) * float(dt))
+    return _phase_scale(phi, ph)
+
+
+def _phase_scale(phi: CDD, ph: complex) -> CDD:
+    """Multiply a CDD state by the host-computed global phase.
+
+    With x64 available the product runs in exact f64 (merge →
+    multiply → resplit): XLA *CPU* constant-folds the dd product's
+    error-free transformations when the phase is an in-graph constant
+    (measured 1.2e-7 relative — a latent bug masked for four rounds
+    because every kernel test used ``e_min = −bound`` ⇒ β = 0 ⇒
+    phase ≡ 1).  On f32-only TPUs the dd path stands — verified
+    exact by the on-chip per-step oracle (β ≠ 0 there: the bench's
+    TFIM envelope is asymmetric)."""
+    if jax.config.jax_enable_x64:
+        zr = phi.re.hi.astype(jnp.float64) + phi.re.lo
+        zi = phi.im.hi.astype(jnp.float64) + phi.im.lo
+        wr = zr * np.float64(ph.real) - zi * np.float64(ph.imag)
+        wi = zr * np.float64(ph.imag) + zi * np.float64(ph.real)
+        rh = wr.astype(jnp.float32)
+        ih = wi.astype(jnp.float32)
+        return CDD(
+            DD(rh, (wr - rh.astype(jnp.float64)).astype(jnp.float32)),
+            DD(ih, (wi - ih.astype(jnp.float64)).astype(jnp.float32)),
+        )
     phase = CDD(
         DD(*(jnp.float32(v) for v in _split_f64(ph.real))),
         DD(*(jnp.float32(v) for v in _split_f64(ph.imag))),

@@ -116,3 +116,37 @@ def test_transmon_dd_cheby_propagation():
     got = cdd_to_c128(z)[:N]
     exact = expm(-1j * H.toarray() * dt * 30) @ psi
     assert np.abs(got - exact).max() < 1e-12
+
+
+def test_dd_bsr_cheby_generic_envelope_beta_nonzero():
+    """Regression (round 5): with an ASYMMETRIC spectral envelope
+    (β = Δ/2 + E_min ≠ 0) the final global-phase multiply used to lose
+    EFT exactness under CPU jit (XLA constant-folds the dd product for
+    in-graph constant phases; 1.2e-8 observed) — masked in every
+    earlier test by the symmetric-envelope convention β = 0."""
+    import scipy.linalg
+    import scipy.sparse as sp
+
+    from quantumpropagators.ops.cheby import cheby_coeffs
+    from quantumpropagators.ops.df64 import cdd_from_c128, cdd_to_c128
+    from quantumpropagators.ops.df64_sparse import (
+        bsr_dd_from_scipy, cheby_apply_dd_bsr,
+    )
+
+    rng = np.random.default_rng(9)
+    N = 32
+    M0 = rng.normal(size=(N, N))
+    H = M0 + M0.T
+    psi = rng.normal(size=N) + 1j * rng.normal(size=N)
+    psi /= np.linalg.norm(psi)
+    evals = np.linalg.eigvalsh(H)
+    e_min = float(evals[0] - 0.5)   # asymmetric: beta != 0
+    delta = float(evals[-1] + 0.5 - e_min)
+    dt = 0.05
+    assert abs(delta / 2 + e_min) > 0.05  # the regression regime
+    op = bsr_dd_from_scipy(sp.csr_matrix(H), block_size=8)
+    out = cheby_apply_dd_bsr(
+        op, cdd_from_c128(psi), cheby_coeffs(delta, dt), delta, e_min, dt
+    )
+    want = scipy.linalg.expm(-1j * dt * H) @ psi
+    assert np.abs(cdd_to_c128(out) - want).max() < 1e-13
