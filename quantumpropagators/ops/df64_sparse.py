@@ -237,9 +237,10 @@ def _phase_scale(phi: CDD, ph: complex) -> CDD:
     error-free transformations when the phase is an in-graph constant
     (measured 1.2e-7 relative — a latent bug masked for four rounds
     because every kernel test used ``e_min = −bound`` ⇒ β = 0 ⇒
-    phase ≡ 1).  On f32-only TPUs the dd path stands — verified
-    exact by the on-chip per-step oracle (β ≠ 0 there: the bench's
-    TFIM envelope is asymmetric)."""
+    phase ≡ 1).  On f32-only TPUs the dd path stands — the TPU
+    backend does not fold these (verified by the on-chip optomech
+    oracle, whose eigvalsh-based envelope has β ≠ 0: err 3.4e-13
+    over 50 steps, `docs/bench_r05/optomech.json`)."""
     if jax.config.jax_enable_x64:
         zr = phi.re.hi.astype(jnp.float64) + phi.re.lo
         zi = phi.im.hi.astype(jnp.float64) + phi.im.lo
